@@ -1,0 +1,300 @@
+"""HTML -> flat DOM-block array: the *detector* stage kernel.
+
+Transplant of the reference's region detector (reference: translator/src/
+manga_translator/detection/yolo.py:14-32 — batched model over frames, emitting
+per-frame ``list[DetectionResult(cls, bbox, confidence)]``, base contract
+core/plugin.py:237-251).  Our "frame" is a web page; our "region" is a
+block-level DOM element carrying visible text (or an embedded image).
+
+This module is **pure Python / stdlib-only** and is imported by BOTH the
+single-process oracle (golden generator) and the Spark ``mapInPandas`` stage,
+so block boundaries, feature values and classification are byte/bit-identical
+on the two sides by construction (SURVEY.md §5/§7).
+
+Positional alignment note: the reference aligns stage outputs by list index
+(``source_index``, pipelines/image_to_image.py:11-21).  We replace that with
+the explicit key ``(url, block_idx)`` where ``block_idx`` is document order —
+the one ordering the parser itself guarantees deterministically.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from manga_translator_spark.functions.normalize import decode_html, normalize_text
+
+# Block classes — analogue of DetectionClasses (reference core/constants.py:6-8:
+# TextBubble=0, FreeText=1) plus an embedded-image class feeding the OCR stage.
+CLS_MAIN = 0
+CLS_BOILERPLATE = 1
+CLS_EMBEDDED_IMG = 2
+
+# Classifier thresholds (integer-exact; see classify_block).
+MIN_MAIN_CHARS = 25          # a MAIN block needs >= 25 visible chars
+LINK_DENSITY_NUM = 1         # boilerplate if n_link_chars/n_chars >= 1/3,
+LINK_DENSITY_DEN = 3         # tested as DEN*n_link_chars >= NUM*n_chars*... (ints)
+
+# Elements that delimit a text block (Boilerpipe-style flattening).
+BLOCK_TAGS = frozenset(
+    """p h1 h2 h3 h4 h5 h6 li dt dd td th caption figcaption blockquote pre
+       div article section main header footer nav aside ul ol table tr form
+       fieldset figure details summary body""".split()
+)
+# Subtrees whose text is never visible.
+SKIP_TAGS = frozenset("script style noscript template head svg iframe".split())
+# Void elements (never pushed on the open-element stack).
+VOID_TAGS = frozenset(
+    "img br hr meta link input area base col embed source track wbr".split()
+)
+# Element tags that are boilerplate by construction.
+HINT_TAGS = frozenset("nav aside footer header".split())
+# class=/id= tokens that mark furniture (ads, navs, social chrome).
+HINT_TOKENS = frozenset(
+    """nav menu sidebar footer header ad ads banner breadcrumb breadcrumbs
+       comment comments share social copyright widget promo sponsored""".split()
+)
+
+_TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+_DATA_URI_RE = re.compile(r"^data:image/[a-z0-9.+-]+;base64,(.*)$", re.IGNORECASE | re.DOTALL)
+
+
+@dataclass
+class Block:
+    """One flattened DOM block — the DetectionResult analogue.
+
+    Field mapping vs the reference (core/plugin.py:231-235):
+    ``cls`` <-> DetectionResult.cls, ``score`` <-> confidence, and
+    ``(block_idx, depth)`` replace the geometric bbox.
+    """
+
+    block_idx: int
+    tag: str
+    depth: int
+    text: str
+    n_chars: int
+    n_links: int
+    n_link_chars: int
+    hint: bool
+    cls: int
+    score: float
+    img_payload: bytes | None = None
+
+
+def _has_hint(tag: str, attrs: list[tuple[str, str | None]]) -> bool:
+    if tag in HINT_TAGS:
+        return True
+    for name, value in attrs:
+        if name in ("class", "id", "role") and value:
+            for token in _TOKEN_SPLIT_RE.split(value.lower()):
+                if token in HINT_TOKENS:
+                    return True
+    return False
+
+
+def classify_block(n_chars: int, n_link_chars: int, hint: bool, is_img: bool) -> int:
+    """The detector's decision rule (analogue of YOLO class+confidence,
+    reference detection/yolo.py:23-28 + constants.py:6-8).
+
+    Integer-only comparisons so the Spark column-expression twin in
+    ``operators/classify.py`` agrees bit-for-bit (SURVEY §7 risk register:
+    no float thresholds that straddle representations).
+    """
+    if is_img:
+        return CLS_EMBEDDED_IMG
+    if hint:
+        return CLS_BOILERPLATE
+    if n_chars < MIN_MAIN_CHARS:
+        return CLS_BOILERPLATE
+    # link_density >= 1/3  <=>  3*n_link_chars >= n_chars
+    if LINK_DENSITY_DEN * n_link_chars >= LINK_DENSITY_NUM * n_chars:
+        return CLS_BOILERPLATE
+    return CLS_MAIN
+
+
+def score_block(n_chars: int, n_link_chars: int, hint: bool) -> float:
+    """Confidence analogue: text mass discounted by link mass and hint.
+
+    float64 arithmetic with the exact same operation order as the Spark
+    expression twin — IEEE-754 makes the two sides identical.
+    """
+    density = (n_chars - n_link_chars) / (n_chars + 1.0)
+    return density * 0.5 if hint else density
+
+
+@dataclass
+class _OpenBlock:
+    tag: str
+    depth: int
+    hint: bool
+    parts: list[str] = field(default_factory=list)
+    link_parts: list[str] = field(default_factory=list)
+    n_links: int = 0
+
+
+class _BlockParser(HTMLParser):
+    """Tolerant streaming parser: flat blocks in document order.
+
+    Malformed/unclosed markup (FIXTURES.md id%83 edge case) is handled by
+    construction: unmatched end tags are ignored, unclosed elements are
+    flushed at EOF — and identically so on oracle and executor because this
+    is the same code.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[tuple[str, bool]] = []  # (tag, inherited_hint)
+        self._cur: _OpenBlock | None = None
+        self._skip_depth = 0
+        self._a_depth = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _inherited_hint(self) -> bool:
+        return bool(self._stack) and self._stack[-1][1]
+
+    def _flush(self) -> None:
+        cur, self._cur = self._cur, None
+        if cur is None:
+            return
+        text = normalize_text("".join(cur.parts))
+        if not text:
+            return
+        link_text = normalize_text(" ".join(cur.link_parts))
+        n_chars, n_link = len(text), len(link_text)
+        cls = classify_block(n_chars, n_link, cur.hint, is_img=False)
+        self.blocks.append(
+            Block(
+                block_idx=len(self.blocks),
+                tag=cur.tag,
+                depth=cur.depth,
+                text=text,
+                n_chars=n_chars,
+                n_links=cur.n_links,
+                n_link_chars=n_link,
+                hint=cur.hint,
+                cls=cls,
+                score=score_block(n_chars, n_link, cur.hint),
+            )
+        )
+
+    def _open_block(self, tag: str, hint: bool) -> None:
+        self._flush()
+        self._cur = _OpenBlock(tag=tag, depth=len(self._stack), hint=hint)
+
+    # -- HTMLParser callbacks ---------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            self._stack.append((tag, self._inherited_hint()))
+            return
+        if self._skip_depth:
+            if tag not in VOID_TAGS:
+                self._stack.append((tag, self._inherited_hint()))
+            return
+        if tag == "img":
+            self._handle_img(attrs)
+            return
+        if tag in VOID_TAGS:
+            if tag == "br" and self._cur is not None:
+                self._cur.parts.append(" ")
+            return
+        hint = self._inherited_hint() or _has_hint(tag, attrs)
+        if tag == "a":
+            self._a_depth += 1
+            if self._cur is not None:
+                self._cur.n_links += 1
+        self._stack.append((tag, hint))
+        if tag in BLOCK_TAGS:
+            self._open_block(tag, hint)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag == "img":
+            self._handle_img(attrs)
+        elif tag == "br" and self._cur is not None:
+            self._cur.parts.append(" ")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        # pop to the matching open tag; ignore stray end tags
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                for popped, _hint in reversed(self._stack[i:]):
+                    if popped in SKIP_TAGS:
+                        self._skip_depth = max(0, self._skip_depth - 1)
+                    if popped == "a":
+                        self._a_depth = max(0, self._a_depth - 1)
+                    if popped in BLOCK_TAGS:
+                        self._flush()
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        if self._cur is None:
+            if not data.strip():
+                return
+            # bare text outside any block element: synthesize a body block
+            self._open_block("body", self._inherited_hint())
+        self._cur.parts.append(data)
+        if self._a_depth > 0:
+            self._cur.link_parts.append(data)
+
+    def _handle_img(self, attrs: list[tuple[str, str | None]]) -> None:
+        if self._skip_depth:
+            return
+        src = next((v for k, v in attrs if k == "src" and v), None)
+        if not src:
+            return
+        m = _DATA_URI_RE.match(src)
+        if not m:
+            return
+        try:
+            payload = base64.b64decode(m.group(1), validate=False)
+        except (ValueError, TypeError):
+            return
+        # embedded image = its own zero-text block routed to the OCR stage
+        # (analogue of a FreeText region crop, image_to_image.py:61-71)
+        self._flush()
+        hint = self._inherited_hint()
+        self.blocks.append(
+            Block(
+                block_idx=len(self.blocks),
+                tag="img",
+                depth=len(self._stack),
+                text="",
+                n_chars=0,
+                n_links=0,
+                n_link_chars=0,
+                hint=hint,
+                cls=CLS_EMBEDDED_IMG,
+                score=0.0,
+                img_payload=payload,
+            )
+        )
+
+    def close(self) -> None:  # flush any unclosed trailing block
+        super().close()
+        self._flush()
+
+
+def extract_blocks(html: bytes | str) -> list[Block]:
+    """Parse one page into its flat block list (document order).
+
+    This is the shared kernel: the oracle calls it directly; the Spark
+    detect stage calls it per row inside an Arrow batch.
+    """
+    text = decode_html(html) if isinstance(html, (bytes, bytearray, memoryview)) else (html or "")
+    parser = _BlockParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # html.parser is already tolerant; any residual parse error yields
+        # whatever blocks were collected — same behavior on both sides.
+        parser._flush()
+    return parser.blocks

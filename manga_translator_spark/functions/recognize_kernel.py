@@ -1,0 +1,61 @@
+"""Text-recognition kernel for embedded images (OCR-stage analogue).
+
+The reference's OCR stage (translator/src/manga_translator/ocr/manga_ocr.py:
+41-53) batches image crops through a VisionEncoderDecoder model, then
+post-processes the decoded strings (manga_ocr.py:31-38).  The sandbox ships
+no ONNX runtime or imaging libs, so the *model* here is a deterministic stub
+that decodes the corpus's PNG tEXt chunk (see corpus.make_png); the batching,
+schema and UDF plumbing in ``operators/recognize.py`` are the real design and
+would wrap an ``onnxruntime.InferenceSession`` identically (one
+``session.run`` per Arrow batch, model as a per-worker singleton — reference
+analogues detection/yolo.py:11, ocr/manga_ocr.py:24-27).
+
+Shared by oracle and Spark stage => identical recognized text by construction.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from manga_translator_spark.functions.normalize import normalize_text
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+try:  # real model path — absent in this sandbox, kept behind an import-try
+    import onnxruntime  # noqa: F401
+
+    HAVE_ONNX = True
+except ImportError:
+    HAVE_ONNX = False
+
+
+def decode_png_text(payload: bytes) -> str:
+    """STUB inference: read the tEXt(Description) chunk of a PNG.
+
+    Walks chunks defensively; returns "" for non-PNG / chunk-less payloads
+    (the OCR base class likewise returns "" — reference core/plugin.py:160).
+    """
+    if not payload or not bytes(payload).startswith(_PNG_SIG):
+        return ""
+    data = bytes(payload)
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"tEXt":
+            key, _, value = body.partition(b"\x00")
+            if key == b"Description":
+                return value.decode("utf-8", errors="replace")
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    return ""
+
+
+def recognize_batch(payloads: list[bytes | None]) -> list[str]:
+    """Batched 'model' call: list in, positionally aligned list out —
+    the exact contract of the reference OCR plugin (plugin.py:151-165),
+    with post-processing (manga_ocr.py:31-38 analogue) applied.
+    """
+    return [normalize_text(decode_png_text(p)) if p is not None else "" for p in payloads]

@@ -1,0 +1,123 @@
+"""Pipeline composer: config-driven stage graph (the plugin-registry analogue).
+
+Mirrors the reference's orchestration surface: named plugins per stage slot
+(registry get.py:10-19; construct_plugin core/plugin.py:297-304; YAML wiring
+cli/main.py:72-86 + cli/example_config.yaml), and prefix-composability (the
+UI's /clean endpoint runs detect->segment->clean and stops,
+ui/main.py:104-108) via the ``until=`` argument.
+
+The composed plan is a single lazy DataFrame; Catalyst sees one tree:
+
+    scan(url, html)                      <- column-pruned parquet scan
+      -> detect_blocks   [mapInPandas]   <- UDF barrier #1
+      -> classify        [codegen]
+      -> clean           [codegen]
+      -> assemble        [codegen]          (zero-shuffle default)
+      -> + recognized    [explode -> mapInPandas -> groupBy -> join]
+      -> enrich          [codegen]
+
+Manual physical placement (SURVEY §4: filters don't push through opaque
+mapInPandas): the cheap column-level work sits AFTER the parse UDF and
+BEFORE the recognize UDF, so the expensive model stage sees only the
+embedded-image rows (patch-based processing, lama.py:45 analogue).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+from manga_translator_spark.operators.assemble import assemble_arrays, assemble_exploded
+from manga_translator_spark.operators.classify import classify_blocks
+from manga_translator_spark.operators.clean import CLEANERS
+from manga_translator_spark.operators.detect import detect_blocks
+from manga_translator_spark.operators.enrich import ENRICHERS
+from manga_translator_spark.operators.recognize import recognize_embedded, with_recognized
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+ASSEMBLERS = {"arrays": assemble_arrays, "exploded": assemble_exploded}
+
+STAGE_ORDER = ("detect", "classify", "clean", "assemble", "recognize", "enrich")
+
+
+@dataclass
+class PipelineConfig:
+    """Stage-slot selection (cli/example_config.yaml analogue).
+
+    Each value names an entry in the matching registry; unknown names fail
+    fast at compose time (construct_plugin_by_name raises similarly,
+    get.py:18-19).
+    """
+
+    cleaner: str = "strip"
+    assembler: str = "arrays"
+    enricher: str = "pipe"
+    recognize: bool = True
+    n_buckets: int | None = None  # optional url-hash repartition before UDFs
+    extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        try:
+            import yaml  # optional dep, mirrors cli/main.py:72-73
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("pyyaml not installed; use from_dict/JSON") from e
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+
+def extract(pages: "DataFrame", config: PipelineConfig | None = None, *, until: str | None = None) -> "DataFrame":
+    """Compose the extraction plan over a pages DataFrame.
+
+    ``until`` stops after the named stage and returns that intermediate
+    (prefix-composability; feeds the per-stage checkpoint tables too).
+    """
+    cfg = config or PipelineConfig()
+    if cfg.cleaner not in CLEANERS:
+        raise KeyError(f"unknown cleaner {cfg.cleaner!r}; have {sorted(CLEANERS)}")
+    if cfg.assembler not in ASSEMBLERS:
+        raise KeyError(f"unknown assembler {cfg.assembler!r}; have {sorted(ASSEMBLERS)}")
+    if cfg.enricher not in ENRICHERS:
+        raise KeyError(f"unknown enricher {cfg.enricher!r}; have {sorted(ENRICHERS)}")
+
+    df = pages
+    if cfg.n_buckets:
+        # explicit hash bucketing on the record key before the UDF chain
+        # (north_rule; SURVEY §4) — spreads skewed hosts across tasks.
+        from pyspark.sql import functions as F
+
+        df = df.repartition(cfg.n_buckets, F.xxhash64("url"))
+
+    df = detect_blocks(df)
+    if until == "detect":
+        return df
+    df = classify_blocks(df)
+    if until == "classify":
+        return df
+    cleaned = CLEANERS[cfg.cleaner](df)
+    if until == "clean":
+        return cleaned
+    out = ASSEMBLERS[cfg.assembler](cleaned)
+    if until == "assemble":
+        return out
+    if cfg.recognize:
+        # recognition reads the *classified* blocks (cleaner must not have
+        # dropped img blocks — strip removes only cls=1, so df is safe)
+        out = with_recognized(out, recognize_embedded(df))
+    else:
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "recognized",
+            F.expr("CAST(array() AS ARRAY<STRUCT<block_idx: INT, text: STRING>>)"),
+        )
+    if until == "recognize":
+        return out
+    return ENRICHERS[cfg.enricher](out)
