@@ -76,8 +76,10 @@ def decode_html(payload: bytes) -> str:
     if m:
         declared = m.group(1).decode("ascii", "replace").lower()
         try:
-            b"".decode(declared)
+            import codecs
+
+            codecs.lookup(declared)
             charset = declared
-        except (LookupError, UnicodeDecodeError):
+        except LookupError:
             charset = "utf-8"
     return payload.decode(charset, errors="replace")

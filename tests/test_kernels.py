@@ -1,0 +1,163 @@
+"""Unit tests for the pure shared kernels (no Spark).
+
+Mirrors the reference's isolation strategy: deterministic stand-ins per
+stage (SURVEY.md §5; reference ocr/debug.py, translation/pipe.py).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from manga_translator_spark.corpus import generate_page, make_png
+from manga_translator_spark.functions.blocks import (
+    CLS_BOILERPLATE,
+    CLS_EMBEDDED_IMG,
+    CLS_MAIN,
+    classify_block,
+    extract_blocks,
+)
+from manga_translator_spark.functions.normalize import decode_html, is_blank, normalize_text
+from manga_translator_spark.functions.recognize_kernel import decode_png_text, recognize_batch
+
+
+# ---- normalize (T13 analogue) ------------------------------------------
+
+
+def test_normalize_whitespace_collapse():
+    assert normalize_text("  a \t b\n\nc  ") == "a b c"
+
+
+def test_normalize_ellipsis_and_dots():
+    assert normalize_text("wait… what") == "wait... what"
+    assert normalize_text("so.....") == "so..."
+    assert normalize_text("a・・b") == "a...b"
+
+
+def test_normalize_empty():
+    assert normalize_text("") == ""
+    assert normalize_text(None) == ""
+    assert is_blank("") and is_blank("   ") and is_blank(None)
+    assert not is_blank("x")
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+
+
+def test_decode_html_charset_sniff():
+    assert decode_html("héllo".encode("utf-8")) == "héllo"
+    latin = b'<meta charset="latin-1">caf\xe9'
+    assert "caf\xe9" in decode_html(latin)
+    # bogus charset falls back to utf-8
+    bogus = b'<meta charset="not-a-charset">ok'
+    assert "ok" in decode_html(bogus)
+    # undecodable bytes -> replacement chars, never an exception
+    assert "�" in decode_html(b'<meta charset="utf-8">\xff\xfe')
+
+
+# ---- block parser (T1 detector analogue) --------------------------------
+
+
+def test_blocks_basic_order_and_classes():
+    html = (
+        b"<html><head><title>T</title><script>skip()</script></head><body>"
+        b'<nav><a href="/a">home link here</a> more nav words go here</nav>'
+        b"<p>This paragraph is long enough to be main content for sure.</p>"
+        b'<div class="ad banner">Buy this thing now from our sponsor!!</div>'
+        b"<p>tiny</p>"
+        b"</body></html>"
+    )
+    blocks = extract_blocks(html)
+    tags = [(b.tag, b.cls) for b in blocks]
+    assert [b.block_idx for b in blocks] == list(range(len(blocks)))
+    # nav is hint -> boilerplate; ad div hint -> boilerplate; tiny < 25 chars
+    by_text = {b.text[:4]: b for b in blocks}
+    assert by_text["This"].cls == CLS_MAIN
+    assert by_text["Buy "].cls == CLS_BOILERPLATE
+    assert by_text["tiny"].cls == CLS_BOILERPLATE
+    nav_block = next(b for b in blocks if b.tag == "nav")
+    assert nav_block.hint and nav_block.cls == CLS_BOILERPLATE
+    assert nav_block.n_links == 1 and nav_block.n_link_chars > 0
+    assert tags  # script content never appears
+    assert not any("skip()" in b.text for b in blocks)
+
+
+def test_blocks_link_density_rule():
+    # > 1/3 of chars inside <a> -> boilerplate even without hint class
+    html = b'<p><a href="/x">twenty characters aa</a> short tail text</p>'
+    (b,) = extract_blocks(html)
+    assert 3 * b.n_link_chars >= b.n_chars
+    assert b.cls == CLS_BOILERPLATE
+
+
+def test_blocks_img_data_uri():
+    png = make_png("hello png")
+    import base64
+
+    html = (
+        b'<p>Real main content paragraph with plenty of characters.</p>'
+        b'<img src="data:image/png;base64,' + base64.b64encode(png) + b'" />'
+    )
+    blocks = extract_blocks(html)
+    img = next(b for b in blocks if b.tag == "img")
+    assert img.cls == CLS_EMBEDDED_IMG and img.img_payload == png
+    assert decode_png_text(img.img_payload) == "hello png"
+
+
+def test_blocks_malformed_tolerated():
+    html = b"<p>Unclosed paragraph with enough characters to be main.</div><p>Another main paragraph of respectable length here."
+    blocks = extract_blocks(html)
+    assert len(blocks) == 2
+    assert all(b.cls == CLS_MAIN for b in blocks)
+
+
+def test_blocks_empty_inputs():
+    assert extract_blocks(b"") == []
+    assert extract_blocks(b"<html><body></body></html>") == []
+
+
+def test_classify_block_rules():
+    assert classify_block(100, 0, False, False) == CLS_MAIN
+    assert classify_block(100, 0, True, False) == CLS_BOILERPLATE
+    assert classify_block(24, 0, False, False) == CLS_BOILERPLATE
+    assert classify_block(90, 30, False, False) == CLS_BOILERPLATE  # 3*30>=90
+    assert classify_block(91, 30, False, False) == CLS_MAIN
+    assert classify_block(0, 0, False, True) == CLS_EMBEDDED_IMG
+
+
+# ---- recognition stub (T12 analogue) ------------------------------------
+
+
+def test_recognize_roundtrip():
+    assert recognize_batch([make_png("seed text 42")]) == ["seed text 42"]
+    assert recognize_batch([None, b"not a png", b""]) == ["", "", ""]
+
+
+def test_png_is_valid_chunk_layout():
+    png = make_png("abc")
+    assert png.startswith(b"\x89PNG\r\n\x1a\n") and png.endswith(b"\x00\x00\x00\x00IEND\xaeB`\x82")
+
+
+# ---- corpus determinism -------------------------------------------------
+
+
+def test_corpus_deterministic_and_order_free():
+    a = generate_page(123)
+    b = generate_page(123)
+    assert a == b
+    assert a["url"].endswith("page000123")
+    assert a["html"].startswith(b"<html>")
+
+
+def test_corpus_edge_pages():
+    empty = generate_page(0)  # 0 % 97 == 0 -> empty body
+    assert b"<body></body>" in empty["html"]
+    boiler = generate_page(89)  # all boilerplate: article holds no <p> paragraphs
+    article = boiler["html"].split(b"<article>")[1].split(b"</article>")[0]
+    assert b"<p>" not in article
+    charset = generate_page(79)
+    assert b'charset="shift_jis"' in charset["html"]

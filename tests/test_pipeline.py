@@ -1,0 +1,102 @@
+"""End-to-end Spark-vs-oracle parity — the north_rule gate.
+
+Byte-identical ``extracted_text`` per url (plus spans/recognized equality)
+between the distributed pipeline and the single-process oracle, over the
+seeded corpus containing every FIXTURES.md edge case.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from manga_translator_spark.functions.blocks import extract_blocks
+from manga_translator_spark.plans.pipeline import PipelineConfig, extract
+
+
+@pytest.fixture(scope="module")
+def result_rows(pages_df):
+    return {r["url"]: r for r in extract(pages_df, PipelineConfig()).collect()}
+
+
+def test_every_input_yields_exactly_one_output(result_rows, corpus_rows):
+    # pass-through contract (reference image_to_image.py:100)
+    assert len(result_rows) == len(corpus_rows)
+    assert set(result_rows) == {r["url"] for r in corpus_rows}
+
+
+def test_extracted_text_byte_identical(result_rows, golden):
+    for url, row in result_rows.items():
+        assert row["extracted_text"] == golden[url].extracted_text, url
+
+
+def test_spans_identical_and_well_formed(result_rows, golden):
+    for url, row in result_rows.items():
+        spans = [(s["block_idx"], s["start"], s["end"]) for s in row["spans"]]
+        assert spans == golden[url].spans, url
+        text_len = len(row["extracted_text"])
+        prev_end = -1
+        for idx, start, end in spans:
+            assert 0 <= start <= end <= text_len
+            assert start > prev_end  # sorted, non-overlapping
+            prev_end = end
+            # the span really addresses that block's text
+            assert row["extracted_text"][start:end] == row["extracted_text"][start:end].strip()
+
+
+def test_recognized_identical(result_rows, golden):
+    total = 0
+    for url, row in result_rows.items():
+        rec = [(x["block_idx"], x["text"]) for x in row["recognized"]]
+        assert rec == golden[url].recognized, url
+        total += len(rec)
+    assert total > 0  # corpus must actually exercise the recognizer
+
+
+def test_empty_pages_present_with_empty_extraction(result_rows, golden):
+    empties = [u for u, g in golden.items() if g.extracted_text == ""]
+    assert empties  # edge pages exist in the corpus
+    for u in empties:
+        assert result_rows[u]["extracted_text"] == ""
+        assert result_rows[u]["spans"] == []
+        assert result_rows[u]["n_blocks"] == 0
+
+
+def test_assemblers_equivalent(pages_df):
+    a = extract(pages_df, PipelineConfig(assembler="arrays", recognize=False))
+    b = extract(pages_df, PipelineConfig(assembler="exploded", recognize=False))
+    cols = ["url", "extracted_text", "spans", "n_blocks"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_classify_column_ops_match_python_kernel(pages_df, corpus_rows):
+    """The Spark CASE-expression twin of classify_block/score_block must be
+    bit-identical to the Python kernel (SURVEY §7 determinism rule)."""
+    classified = extract(pages_df, until="classify")
+    got = {
+        r["url"]: [(b["block_idx"], b["cls"], b["score"]) for b in r["blocks"]]
+        for r in classified.collect()
+    }
+    for row in corpus_rows:
+        expected = [(b.block_idx, b.cls, b.score) for b in extract_blocks(row["html"])]
+        assert got[row["url"]] == expected, row["url"]
+
+
+def test_mask_cleaner_preserves_main_text(pages_df):
+    a = extract(pages_df, PipelineConfig(cleaner="strip", recognize=False))
+    c = extract(pages_df, PipelineConfig(cleaner="mask", recognize=False))
+    assert a.select("url", "extracted_text").exceptAll(c.select("url", "extracted_text")).count() == 0
+
+
+def test_debug_enricher_constant(pages_df):
+    out = extract(pages_df, PipelineConfig(enricher="debug", recognize=False))
+    vals = out.select(F.collect_set(F.when(F.length("extracted_text") > 0, F.col("extracted_text")))).first()[0]
+    assert vals == ["meow"]
+
+
+def test_bucketed_repartition_does_not_change_results(pages_df, golden):
+    out = extract(pages_df, PipelineConfig(n_buckets=16)).collect()
+    for r in out:
+        assert r["extracted_text"] == golden[r["url"]].extracted_text
