@@ -1,0 +1,91 @@
+"""spark-submit entry point: extract main content from a pages table.
+
+CLI analogue of the reference's cli/main.py:31-107 (args -> config ->
+pipeline -> batched read/process/write loop), rebuilt as a bucketed,
+resumable Spark job (north_rule: spark-submit --py-files launch, explicit
+partitioning, per-partition lineage + resume).
+
+Examples
+--------
+# extract a parquet pages table, 64 buckets, resumable:
+spark-submit --py-files dist/manga_translator_spark.zip jobs/extract.py \
+    --input /data/pages --out /data/extracted --lineage /data/lineage
+
+# generate the seeded corpus on the fly (bench/smoke):
+python jobs/extract.py --n-pages 10000 --out /tmp/x --lineage /tmp/x_lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow `python jobs/extract.py` from a repo checkout (spark-submit ships the
+# package via --py-files instead; scripts/submit.sh)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from manga_translator_spark.plans.pipeline import PipelineConfig
+from manga_translator_spark.session import get_spark
+from manga_translator_spark.sources.lineage import run_extraction
+from manga_translator_spark.sources.pages import corpus_df, read_pages
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    p.add_argument("--n-pages", type=int, help="generate the seeded corpus instead of reading --input")
+    p.add_argument("--out", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--master", default=None, help="override spark master (default: env/local[32])")
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--buckets-per-job", type=int, default=8)
+    p.add_argument("--cleaner", default="strip")
+    p.add_argument("--assembler", default="arrays")
+    p.add_argument("--enricher", default="pipe")
+    p.add_argument("--no-recognize", action="store_true")
+    p.add_argument("--config", help="YAML pipeline config (overrides the stage flags)")
+    args = p.parse_args(argv)
+    if not args.input and not args.n_pages:
+        p.error("one of --input / --n-pages is required")
+
+    cfg = (
+        PipelineConfig.from_yaml(args.config)
+        if args.config
+        else PipelineConfig(
+            cleaner=args.cleaner,
+            assembler=args.assembler,
+            enricher=args.enricher,
+            recognize=not args.no_recognize,
+        )
+    )
+
+    spark = get_spark(app="extract", master=args.master)
+    try:
+        pages = (
+            read_pages(spark, args.input)
+            if args.input
+            else corpus_df(spark, args.n_pages)
+        )
+        t0 = time.monotonic()
+        run_id = run_extraction(
+            spark,
+            pages,
+            args.out,
+            args.lineage,
+            config=cfg,
+            n_buckets=args.n_buckets,
+            buckets_per_job=args.buckets_per_job,
+        )
+        wall = time.monotonic() - t0
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"run_id": run_id, "rows": n, "wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1)}))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

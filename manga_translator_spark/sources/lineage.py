@@ -1,0 +1,131 @@
+"""Checkpointed, resumable bucket runs + per-partition lineage (north_rule).
+
+The reference has no resume story — a crash mid-archive reprocesses
+everything (pipelines/cbz.py:49-79).  At 10^12-document scale that is not
+acceptable, so the engine adds what the north_rule demands:
+
+* pages are hash-bucketed on ``url`` (``xxhash64(url) % n_buckets``);
+* the bucket is the unit of work, checkpointing and *resume*: a restarted
+  run anti-joins the set of buckets already recorded ``done`` in the
+  lineage table and recomputes nothing;
+* every bucket group appends a lineage row ``(run_id, bucket, status,
+  rows_in, rows_out, wall_ms)`` — the per-partition metrics feed the bench
+  report and make stragglers/skew visible.
+
+Physical notes: one Spark job per bucket *group* (``buckets_per_job``), not
+per bucket — pruning by a bucket predicate on a bucket-partitioned parquet
+source is partition pruning, so resumed runs do not even scan completed
+data.  On a real cluster the same code runs against an Iceberg table where
+``bucket`` is a hidden partition transform.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from manga_translator_spark.plans.pipeline import PipelineConfig, extract
+from manga_translator_spark.schema import LINEAGE_SCHEMA
+from manga_translator_spark.sources.pages import with_bucket
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def read_lineage(spark: "SparkSession", path: str) -> "DataFrame":
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+    except Exception:  # first run: table does not exist yet
+        return spark.createDataFrame([], schema=LINEAGE_SCHEMA)
+
+
+def done_buckets(spark: "SparkSession", lineage_path: str) -> set[int]:
+    rows = (
+        read_lineage(spark, lineage_path)
+        .filter(F.col("status") == "done")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows}
+
+
+def _append_lineage(spark: "SparkSession", path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).write.mode("append").parquet(path)
+
+
+def run_extraction(
+    spark: "SparkSession",
+    pages: "DataFrame",
+    out_path: str,
+    lineage_path: str,
+    *,
+    config: PipelineConfig | None = None,
+    n_buckets: int = 32,
+    buckets_per_job: int = 8,
+    run_id: str | None = None,
+    fail_buckets: set[int] | None = None,
+) -> str:
+    """Bucketed, resumable extraction run.
+
+    ``fail_buckets`` is a test hook: those bucket groups raise mid-run,
+    exercising the resume path (a 'failed' row is recorded; a re-run picks
+    the group up again).  Returns the run_id.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    bucketed = with_bucket(pages, n_buckets)
+    skip = done_buckets(spark, lineage_path)
+
+    todo = [b for b in range(n_buckets) if b not in skip]
+    for lo in range(0, len(todo), buckets_per_job):
+        group = todo[lo : lo + buckets_per_job]
+        t0 = time.monotonic()
+        part = bucketed.filter(F.col("bucket").isin(group))
+        try:
+            if fail_buckets and set(group) & fail_buckets:
+                raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
+            result = extract(part, config).join(
+                part.select("url", "bucket"), "url", "left"
+            )
+            # count once per group from the written data, not an extra job
+            # dynamic partition overwrite: a retried group replaces exactly
+            # its own bucket partitions — idempotent under crash/retry
+            (
+                result.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(out_path)
+            )
+            rows_in = {
+                r["bucket"]: r["count"]
+                for r in part.groupBy("bucket").count().collect()
+            }
+            # rows_out from the parquet just written (footer metadata count —
+            # no recompute of the pipeline)
+            rows_out = {
+                r["bucket"]: r["count"]
+                for r in spark.read.parquet(out_path)
+                .filter(F.col("bucket").isin(group))
+                .groupBy("bucket")
+                .count()
+                .collect()
+            }
+            wall = int((time.monotonic() - t0) * 1000)
+            _append_lineage(
+                spark,
+                lineage_path,
+                [
+                    (run_id, b, "done", rows_in.get(b, 0), rows_out.get(b, 0), wall)
+                    for b in group
+                ],
+            )
+        except Exception:
+            wall = int((time.monotonic() - t0) * 1000)
+            _append_lineage(
+                spark, lineage_path, [(run_id, b, "failed", -1, -1, wall) for b in group]
+            )
+            raise
+    return run_id
