@@ -1,38 +1,648 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2.5 relational coverage + the training-data operators:
+dedup, similarity search, text analysis).  ``oracle_sql()`` carries the
+DuckDB twin for every SQL-expressible query, built from the SAME constants
+and hash fragments as the Spark side (manga_translator_spark/functions/
+texthash.py) so values agree exactly.  Aggregates over doubles are rounded
+on both sides to absorb summation-order ulps.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from manga_translator_spark.functions.texthash import (
+    h60_duck,
+    h60_spark,
+    shingles_duck,
+    tokens_duck,
+)
+from manga_translator_spark.operators import dedup, similarity, text_analysis
+from manga_translator_spark.operators.text_analysis import LANGS, STOPWORDS
+from manga_translator_spark.plans.pipeline import PipelineConfig, extract
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: pages synthesized deterministically from the documents table,
+# run through the full extraction pipeline (detect -> classify -> clean ->
+# recognize -> assemble).
+# --------------------------------------------------------------------------
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit('<html><head><meta charset="utf-8"><title>d</title></head><body>'
+                      '<nav class="topnav"><a href="/x">home</a> nav menu links</nav>'
+                      "<article><p>"),
+                F.col("text"),
+                F.lit("</p></article>"
+                      '<footer><p>© footer</p></footer></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = extract(pages, PipelineConfig())
+    return out.select("url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json"))
+
+
+def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (HTML parsing isn't SQL-expressible); byte-identity vs
+    # the single-process oracle is covered by tests/test_pipeline.py.
+    pages = _pages_from_documents(spark, sf_dir)
+    return extract(pages, PipelineConfig()).select(
+        "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2.5) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def _q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_revenue_by_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def _q_order_fill(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("qty", F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+def _q_cust_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _q_cust_anti(spark, sf):
+    # customers with no large order — non-trivial anti-join on the filtered side
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _q_running_supplier(spark, sf):
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+def _q_top_order_per_cust(spark, sf):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+def _q_part_words(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_orders_by_month(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def _q_order_lines_collected(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("line_nums")
+    )
+
+
+def _q_returns_cube(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _q_segment_set_ops(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    d = c.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return a.union(b).distinct().subtract(d)
+
+
+def _q_events_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max(F.get_json_object("props", "$.k").cast("bigint")).alias("max_k"),
+    )
+
+
+def _q_user_sessions(spark, sf):
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microseconds: exact on both engines (unix_timestamp truncates)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ -> UTC instant
+    gap = ts_us - F.lag(ts_us).over(w)
+    return (
+        e.withColumn("new_session", F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data operators over documents / embeddings
+# --------------------------------------------------------------------------
+
+
+def _q_doc_tokens(spark, sf):
+    return text_analysis.token_stats(_t(spark, sf, "documents"))
+
+
+def _q_doc_quality(spark, sf):
+    return text_analysis.quality_features(_t(spark, sf, "documents"))
+
+
+def _q_doc_langid(spark, sf):
+    return text_analysis.lang_id(_t(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    return text_analysis.fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.dedup_exact(_t(spark, sf, "documents"))
+
+
+def _q_minhash(spark, sf):
+    sigs = dedup.minhash_signatures(_t(spark, sf, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.expr("array_join(transform(signature, x -> cast(x as string)), ',')").alias("sig"),
+    )
+
+
+def _q_lsh_pairs(spark, sf):
+    return dedup.lsh_candidate_pairs(_t(spark, sf, "documents"))
+
+
+def _q_jaccard_pairs(spark, sf):
+    return dedup.jaccard_verified_pairs(_t(spark, sf, "documents"))
+
+
+def _q_simhash(spark, sf):
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+def _q_ann_cosine(spark, sf):
+    return similarity.cosine_topk(_t(spark, sf, "embeddings"))
+
+
+def _q_ann_lsh_stats(spark, sf):
+    return similarity.lsh_bucket_stats(_t(spark, sf, "embeddings"))
+
+
+def _q_embedding_near_dup(spark, sf):
+    return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_pipeline": _q_extract_pipeline,  # rows-only (non-SQL)
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "order_fill_left_join": _q_order_fill,
+        "cust_with_orders_semi": _q_cust_semi,
+        "cust_without_orders_anti": _q_cust_anti,
+        "running_supplier_qty": _q_running_supplier,
+        "top_order_per_cust": _q_top_order_per_cust,
+        "part_words_explode": _q_part_words,
+        "orders_by_month": _q_orders_by_month,
+        "order_lines_collected": _q_order_lines_collected,
+        "returns_cube": _q_returns_cube,
+        "segment_set_ops": _q_segment_set_ops,
+        "events_json": _q_events_json,
+        "user_sessions": _q_user_sessions,
+        "doc_token_stats": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash,
+        "lsh_candidate_pairs": _q_lsh_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_bucket_stats": _q_ann_lsh_stats,
+        "embedding_near_dup": _q_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+
+_TOKS = tokens_duck("text")
+_SHINGLES = shingles_duck("tokens", dedup.SHINGLE_W)
+_K = dedup.MINHASH_K
+_BANDS = dedup.LSH_BANDS
+_ROWS = _K // _BANDS
+
+
+def _stop_duck(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(tokens, t -> list_contains([{arr}], t)))"
+
+
+def _langid_fold() -> str:
+    folded = "{'h': -1, 'l': 'und'}"
+    for lang in LANGS:
+        folded = (
+            f"CASE WHEN hits_{lang} > ({folded}).h "
+            f"THEN {{'h': hits_{lang}, 'l': '{lang}'}} ELSE {folded} END"
+        )
+    return folded
+
+
+def _dot_duck(a: str, b: str, dim: int = similarity.EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _planes_duck() -> str:
+    return "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in p) + "]" for p in similarity.PLANES
+    ) + "]"
+
+
+def _lsh_sig_duck(emb: str) -> str:
+    terms = []
+    for j, plane in enumerate(similarity.PLANES):
+        arr = "[" + ", ".join(f"{v}" for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_duck(arr, emb)} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END"
+        )
+    return " + ".join(terms)
+
+
+_MINHASH_CTE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+sig AS (SELECT doc_id, list_transform(generate_series(0, {_K - 1}),
+          i -> list_min(list_transform(shingles, s -> {h60_duck("concat(i, ':', s)")}))) AS signature
+        FROM sh)
+"""
+
+_BANDS_CTE = _MINHASH_CTE + f""",
+bands AS (
+  SELECT doc_id, band_idx,
+         {h60_duck(f"array_to_string(list_transform(signature[band_idx * {_ROWS} + 1 : band_idx * {_ROWS} + {_ROWS}], x -> x::VARCHAR), ',')")} AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS band_idx) b
+),
+buckets AS (
+  SELECT band_idx, band_hash, (list_sort(list(doc_id)))[1:{dedup.MAX_BUCKET}] AS ids
+  FROM bands GROUP BY band_idx, band_hash HAVING count(*) > 1
+),
+pairs AS (
+  SELECT DISTINCT a AS doc_a, b AS doc_b
+  FROM (SELECT a, unnest(list_filter(ids, x -> x > a)) AS b
+        FROM (SELECT unnest(ids) AS a, ids FROM buckets))
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 6) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["revenue_by_nation"] = """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    """
+
+    sql["order_fill_left_join"] = """
+      SELECT o_orderkey, coalesce(agg.qty, 0.0) AS total_qty
+      FROM orders LEFT JOIN (
+        SELECT l_orderkey, round(sum(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY l_orderkey
+      ) agg ON o_orderkey = agg.l_orderkey
+    """
+
+    sql["cust_with_orders_semi"] = """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+
+    sql["cust_without_orders_anti"] = """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """
+
+    sql["running_supplier_qty"] = """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      FROM lineitem
+    """
+
+    sql["top_order_per_cust"] = """
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    """
+
+    sql["part_words_explode"] = """
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+      ) GROUP BY word
+    """
+
+    sql["orders_by_month"] = """
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY 1
+    """
+
+    sql["order_lines_collected"] = """
+      SELECT l_orderkey,
+             array_to_string(list_sort(list(l_linenumber::VARCHAR)), ',') AS line_nums
+      FROM lineitem GROUP BY l_orderkey
+    """
+
+    sql["returns_cube"] = """
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    sql["segment_set_ops"] = """
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    """
+
+    sql["events_json"] = """
+      SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+             max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type
+    """
+
+    sql["user_sessions"] = """
+      SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000 THEN 1 ELSE 0 END AS new_session
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events)
+      ) GROUP BY user_id
+    """
+
+    sql["doc_token_stats"] = f"""
+      SELECT doc_id, len(tokens) AS n_tokens, length(text) AS n_chars_raw,
+             CASE WHEN len(tokens) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tokens, t -> length(t)))::DOUBLE / len(tokens)
+             END AS avg_token_len,
+             len(list_distinct(tokens)) AS n_distinct_tokens
+      FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM documents)
+    """
+
+    punct = "length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))"
+    digit = "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))"
+    upper = "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))"
+    sql["doc_quality"] = f"""
+      SELECT doc_id, length(text) AS n_chars_raw,
+             ({punct}) / (length(text) + 1.0) AS punct_ratio,
+             ({digit}) / (length(text) + 1.0) AS digit_ratio,
+             ({upper}) / (length(text) + 1.0) AS upper_ratio,
+             CASE WHEN length(text) >= 100
+                   AND ({punct}) / (length(text) + 1.0) < 0.1
+                   AND ({digit}) / (length(text) + 1.0) < 0.2
+                  THEN 1 ELSE 0 END AS is_quality
+      FROM documents
+    """
+
+    hits = ", ".join(f"{_stop_duck(l)} AS hits_{l}" for l in LANGS)
+    total = " + ".join(f"hits_{l}" for l in LANGS)
+    sql["doc_langid"] = f"""
+      SELECT doc_id, lang, {', '.join('hits_' + l for l in LANGS)},
+             CASE WHEN {total} = 0 THEN 'und' ELSE ({_langid_fold()}).l END AS lang_guess
+      FROM (SELECT doc_id, lang, {hits}
+            FROM (SELECT doc_id, lang, {_TOKS} AS tokens FROM documents))
+    """
+
+    sql["doc_fingerprint"] = f"""
+      SELECT doc_id, md5(text) AS md5_fp,
+             CASE WHEN len(tokens) = 0 THEN (-1)::BIGINT
+                  ELSE list_min(list_transform(tokens, t -> {h60_duck('t')}))
+             END AS min_token_hash
+      FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM documents)
+    """
+
+    sql["dedup_exact"] = """
+      SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_docs
+      FROM documents GROUP BY md5(text)
+    """
+
+    sql["minhash_signatures"] = (
+        _MINHASH_CTE
+        + """
+      SELECT doc_id,
+             array_to_string(list_transform(signature, x -> x::VARCHAR), ',') AS sig
+      FROM sig
+    """
+    )
+
+    sql["lsh_candidate_pairs"] = _BANDS_CTE + "SELECT doc_a, doc_b FROM pairs"
+
+    sql["jaccard_pairs"] = (
+        _BANDS_CTE
+        + f""",
+      sets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh)
+      SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        FROM pairs
+        JOIN sets a ON pairs.doc_a = a.doc_id
+        JOIN sets b ON pairs.doc_b = b.doc_id
+      ) WHERE jac >= 0.6
+    """
+    )
+
+    sql["simhash"] = f"""
+      SELECT doc_id,
+             CASE WHEN len(hashes) = 0 THEN (-1)::BIGINT
+                  ELSE list_sum(list_transform(generate_series(0, {dedup.SIMHASH_BITS - 1}),
+                    j -> CASE WHEN 2 * len(list_filter(hashes, h -> (h >> j) % 2 = 1)) > len(hashes)
+                              THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT
+             END AS simhash
+      FROM (SELECT doc_id, list_transform(tokens, t -> {h60_duck('t')}) AS hashes
+            FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents))
+    """
+
+    cos = (
+        f"{_dot_duck('q.embedding', 'n.embedding')} / "
+        f"(sqrt({_dot_duck('q.embedding', 'q.embedding')}) * "
+        f"sqrt({_dot_duck('n.embedding', 'n.embedding')}))"
+    )
+    sql["ann_cosine_topk"] = f"""
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 round({cos}, 4) AS cos_sim
+          FROM embeddings q, embeddings n
+          WHERE q.vec_id % 97 = 0 AND n.vec_id != q.vec_id
+        )
+      ) WHERE rank <= 5
+    """
+
+    sql["ann_lsh_bucket_stats"] = f"""
+      SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+      FROM (SELECT vec_id, {_lsh_sig_duck('embedding')} AS bucket FROM embeddings)
+      GROUP BY bucket
+    """
+
+    cos_ab = (
+        f"{_dot_duck('a.embedding', 'b.embedding')} / "
+        f"(sqrt({_dot_duck('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_dot_duck('b.embedding', 'b.embedding')}))"
+    )
+    sql["embedding_near_dup"] = f"""
+      WITH sigs AS (SELECT vec_id, {_lsh_sig_duck('embedding')} AS bucket FROM embeddings)
+      SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos_ab}, 4) AS cos_sim
+        FROM sigs sa JOIN sigs sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+        JOIN embeddings a ON sa.vec_id = a.vec_id
+        JOIN embeddings b ON sb.vec_id = b.vec_id
+      ) WHERE cos_sim >= 0.3
+    """
+
+    return sql

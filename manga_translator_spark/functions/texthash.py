@@ -1,0 +1,65 @@
+"""Shared deterministic text hashing/tokenization — Spark + DuckDB twins.
+
+The dedup/similarity/fingerprint operators need hash values that the
+driver's DuckDB oracle can recompute exactly.  Spark's ``xxhash64`` and
+DuckDB's ``hash`` are different algorithms, so every cross-checked operator
+hashes through **md5** (identical everywhere): take the first 15 hex digits
+(60 bits — fits a signed BIGINT on both engines) as an integer.
+
+Each helper returns a pair of SQL fragments (spark_sql, duckdb_sql) built
+from the same constants, so the two sides can only agree or fail together —
+the same single-source-of-truth discipline the extraction pipeline uses for
+its Python kernels (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+HASH_HEX_DIGITS = 15  # 60 bits < 2^63
+
+
+def h60_spark(x: str) -> str:
+    return f"cast(conv(substr(md5({x}), 1, {HASH_HEX_DIGITS}), 16, 10) as bigint)"
+
+
+def h60_duck(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, {HASH_HEX_DIGITS}))::UBIGINT)::BIGINT"
+
+
+def seeded_spark(seed: int, x: str) -> str:
+    return h60_spark(f"concat('{seed}:', {x})")
+
+
+def seeded_duck(seed: int, x: str) -> str:
+    return h60_duck(f"concat('{seed}:', {x})")
+
+
+# Tokenization: lowercase, strip non-alphanumerics, split on whitespace.
+def tokens_spark(col: str) -> str:
+    return (
+        f"filter(split(trim(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ')), "
+        f"'\\\\s+'), t -> t != '')"
+    )
+
+
+def tokens_duck(col: str) -> str:
+    return (
+        f"list_filter(string_split_regex(trim(regexp_replace(lower({col}), "
+        f"'[^a-z0-9 ]', ' ', 'g')), '\\s+'), t -> t != '')"
+    )
+
+
+# Word shingles (w tokens, space-joined); short docs yield one whole-doc shingle.
+def shingles_spark(tokens: str, w: int = 3) -> str:
+    return f"""CASE WHEN size({tokens}) < {w}
+      THEN array(array_join({tokens}, ' '))
+      ELSE transform(sequence(1, size({tokens}) - {w - 1}),
+                     i -> array_join(slice({tokens}, i, {w}), ' '))
+      END"""
+
+
+def shingles_duck(tokens: str, w: int = 3) -> str:
+    return f"""CASE WHEN len({tokens}) < {w}
+      THEN [array_to_string({tokens}, ' ')]
+      ELSE list_transform(generate_series(1, len({tokens}) - {w - 1}),
+                          i -> array_to_string({tokens}[i:i + {w - 1}], ' '))
+      END"""

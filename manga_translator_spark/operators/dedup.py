@@ -1,0 +1,163 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data dedup over a documents table, designed for the 100 TB shape:
+
+* **exact**: hash-groupBy on a canonicalized text digest. One shuffle on the
+  digest; the digest (md5) is computed scan-side so the shuffle carries
+  16 bytes + ids, not documents.
+* **MinHash + LSH**: shingle -> K seeded min-hashes -> B bands; documents
+  sharing a band bucket become candidate pairs via an *explode + groupBy
+  bucket + intra-bucket pairing* (bucket-join) — never an O(n^2) cross
+  join.  Bucket sizes are bounded in practice; a hot bucket (all-identical
+  spam pages) is capped with a per-bucket limit to keep the pair explosion
+  bounded (salting analogue for pathological keys).
+* **SimHash**: 32-bit sign-vote fingerprint, pure column ops; near-dups =
+  identical simhash (banded variants would split the 32 bits).
+* **n-gram Jaccard**: exact verify step over LSH candidates only
+  (array_intersect/array_union on distinct shingle sets).
+
+All hashes go through the md5-based 60-bit scheme (functions/texthash.py)
+so the driver's DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from manga_translator_spark.functions.texthash import (
+    h60_spark,
+    shingles_spark,
+    tokens_spark,
+)
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+MINHASH_K = 8       # permutations
+LSH_BANDS = 4       # rows per band = K / BANDS = 2
+SHINGLE_W = 3
+MAX_BUCKET = 50     # cap pathological LSH buckets (spam clusters)
+
+
+def dedup_exact(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Exact dedup groups: digest -> (canonical_id = min doc_id, dup count).
+
+    Only the digest and id shuffle; Catalyst does partial aggregation
+    map-side so each group ships once per partition.
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _with_shingles(docs: "DataFrame", text_col: str) -> "DataFrame":
+    toks = tokens_spark(text_col)
+    return docs.withColumn("shingles", F.expr(shingles_spark(toks, SHINGLE_W)))
+
+
+def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K) -> "DataFrame":
+    """Per-doc MinHash signature: sig[i] = min over shingles of H(i, s)."""
+    per_shingle = h60_spark("concat(i, ':', s)")
+    sig = (
+        f"transform(sequence(0, {k - 1}), "
+        f"i -> array_min(transform(shingles, s -> {per_shingle})))"
+    )
+    return _with_shingles(docs, text_col).select(
+        "doc_id", F.expr(sig).alias("signature")
+    )
+
+
+def lsh_bands(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K, bands: int = LSH_BANDS) -> "DataFrame":
+    """Explode each signature into (band_idx, band_hash) bucket keys."""
+    rows = k // bands
+    sigs = minhash_signatures(docs, text_col, k)
+    band_hash = h60_spark(
+        f"array_join(transform(slice(signature, b * {rows} + 1, {rows}), "
+        f"x -> cast(x as string)), ',')"
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, {bands - 1}), b -> {band_hash})")
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+
+    Bucket-join: groupBy bucket, pair within the (capped) bucket — the
+    shuffle key is the band hash, so co-candidates land together without a
+    cross join.
+    """
+    bands = lsh_bands(docs, text_col)
+    buckets = bands.groupBy("band_idx", "band_hash").agg(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET).alias("ids")
+    ).filter(F.size("ids") > 1)
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold: float = 0.6) -> "DataFrame":
+    """Exact n-gram Jaccard on LSH candidates only (verify step).
+
+    The join fanning shingle sets onto the (small) candidate-pair side is
+    broadcast-able; AQE handles it at runtime.
+    """
+    shingled = _with_shingles(docs, text_col).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    pairs = lsh_candidate_pairs(docs, text_col)
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """32-bit SimHash: per-bit majority vote over token hashes."""
+    toks = tokens_spark(text_col)
+    th = h60_spark("t")
+    expr = f"""
+    CASE WHEN size(hashes) = 0 THEN CAST(-1 AS BIGINT) ELSE
+      aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT),
+        (acc, j) -> acc + IF(
+          2 * size(filter(hashes, h -> shiftright(h, j) % 2 = 1)) > size(hashes),
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+    END"""
+    return (
+        docs.withColumn("hashes", F.expr(f"transform({toks}, t -> {th})"))
+        .select("doc_id", F.expr(expr).alias("simhash"))
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators over a documents table — training-data pipeline ops.
+
+Beyond the reference's own stages, a web-scale extraction engine feeds
+training-data pipelines; these are the per-document scoring/statistics
+operators (language-ID, quality scoring, token counting, fingerprinting)
+expressed entirely in built-in ``pyspark.sql.functions`` so they run inside
+whole-stage codegen — no Python in the hot path.
+
+Every operator has a DuckDB SQL twin in ``__spark_entry__.py`` built from
+the same fragments/constants, so the driver's oracle verifies values
+exactly.  All are narrow (per-row) transforms: at 100 TB they pipeline over
+the scan with zero shuffle; only explicit aggregations shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+from manga_translator_spark.functions.texthash import h60_spark, tokens_spark
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+# Tiny per-language stopword sets for the n-gram/stopword language heuristic.
+# Deliberately small + frozen: the SQL twin embeds the same lists.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "que", "une", "sur"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic tie order: de < en < fr
+
+
+def with_tokens(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    return docs.withColumn("tokens", F.expr(tokens_spark(text_col))).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+
+
+def token_stats(docs: "DataFrame") -> "DataFrame":
+    """Per-doc token counting (whitespace + alnum-fold tokenizer)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.length("text").alias("n_chars_raw"),
+        F.expr(
+            "CASE WHEN size(tokens) = 0 THEN 0.0D ELSE "
+            "CAST(aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS DOUBLE)"
+            " / size(tokens) END"
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+    )
+
+
+def _count_expr(pattern: str) -> str:
+    # occurrences of a char class = chars removed by deleting it
+    return f"length(text) - length(regexp_replace(text, '{pattern}', ''))"
+
+
+def quality_features(docs: "DataFrame") -> "DataFrame":
+    """Quality scoring: length/punctuation/digit/uppercase ratios.
+
+    Ratios are double divisions by (length+1) — exact same expression in the
+    SQL twin, so values hash identically.
+    """
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.expr(f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0)").alias("punct_ratio"),
+        F.expr(f"({_count_expr('[0-9]')}) / (length(text) + 1.0)").alias("digit_ratio"),
+        F.expr(f"({_count_expr('[A-Z]')}) / (length(text) + 1.0)").alias("upper_ratio"),
+        F.expr(
+            "CASE WHEN length(text) >= 100 AND "
+            f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0) < 0.1 AND "
+            f"({_count_expr('[0-9]')}) / (length(text) + 1.0) < 0.2 "
+            "THEN 1 ELSE 0 END"
+        ).alias("is_quality"),
+    )
+
+
+def _stopword_hits_spark(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(tokens, t -> array_contains(array({arr}), t)))"
+
+
+def lang_id(docs: "DataFrame") -> "DataFrame":
+    """Stopword-ratio language ID (n-gram heuristic analogue of the
+    reference's OcrResult.language field, core/plugin.py:145-148).
+
+    Emits per-language hit counts and the argmax guess ('und' if no hits);
+    ties break by language code order via max_by on (hits, -lang) struct.
+    """
+    hit_cols = [
+        F.expr(_stopword_hits_spark(lang)).alias(f"hits_{lang}") for lang in LANGS
+    ]
+    # argmax with deterministic ties: fold over langs in order, keep strictly-greater
+    folded = "named_struct('h', -1, 'l', 'und')"
+    for lang in LANGS:
+        folded = (
+            f"CASE WHEN hits_{lang} > ({folded}).h "
+            f"THEN named_struct('h', hits_{lang}, 'l', '{lang}') ELSE {folded} END"
+        )
+    return (
+        with_tokens(docs)
+        .select("doc_id", "lang", *hit_cols)
+        .withColumn(
+            "lang_guess",
+            F.expr(
+                "CASE WHEN " + " + ".join(f"hits_{l}" for l in LANGS) + " = 0 "
+                f"THEN 'und' ELSE ({folded}).l END"
+            ),
+        )
+    )
+
+
+def fingerprint(docs: "DataFrame") -> "DataFrame":
+    """Document fingerprinting: full-text md5 + min-token-hash (a 1-perm
+    minhash — the rolling-hash fingerprint of SURVEY-era pipelines)."""
+    return with_tokens(docs).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_fp"),
+        F.expr(
+            "CASE WHEN size(tokens) = 0 THEN CAST(-1 AS BIGINT) ELSE "
+            f"array_min(transform(tokens, t -> {h60_spark('t')})) END"
+        ).alias("min_token_hash"),
+    )

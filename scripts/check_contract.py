@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB over the same parquet dir and
+compare row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_contract.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(norm_cell(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+def run_check(spark, sf_dir: str, only: set[str] | None = None) -> int:
+    """Returns the number of failing queries; prints one line per query."""
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            failures += 1
+            continue
+        sn, scols_s = norm_rows(scols, [tuple(r) for r in srows])
+        dn, dcols_s = norm_rows(dcols, drows)
+        if scols_s != dcols_s:
+            print(f"FAIL {name}: columns {scols_s} vs {dcols_s}")
+            failures += 1
+            continue
+        if len(sn) != len(dn):
+            print(f"FAIL {name}: rowcount {len(sn)} vs {len(dn)}")
+            failures += 1
+            continue
+        if sn != dn:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"FAIL {name}: values differ; first diffs: {diff}")
+            failures += 1
+            continue
+        print(f"OK   {name}: {len(sn)} rows")
+    print("FAILURES:", failures)
+    return failures
+
+
+def main() -> int:
+    from manga_translator_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app="contract", master="local[8]")
+    try:
+        return 1 if run_check(spark, sf_dir, only) else 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""Local replica of the driver's correctness gate (__spark_entry__.py):
+every queries() entry matches its oracle_sql() DuckDB twin at sf0.001
+(the driver itself runs sf0.01 — scripts/check_contract.py covers that
+manually)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"url", "extracted_text", "n_blocks"}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_all_queries_match_duckdb_oracle(spark):
+    from scripts.check_contract import run_check
+
+    assert run_check(spark, SF_DIR) == 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_oracle_coverage(spark):
+    """Every query has an oracle twin except the explicitly non-SQL ones."""
+    import __spark_entry__ as mod
+
+    qs, oracles = set(mod.queries()), set(mod.oracle_sql())
+    assert oracles <= qs
+    rows_only = qs - oracles
+    assert rows_only == {"extract_pipeline"}  # HTML parse: not SQL-expressible
