@@ -1,0 +1,86 @@
+"""Headline benchmark — one JSON line for the driver.
+
+Runs (a) the flagship extraction pipeline over the deterministically seeded
+corpus (the engine's own workload: docs/sec), and (b) the heavier operator
+queries from the driver contract at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_PAGES         corpus size for the extraction leg (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+
+    import __spark_entry__ as entry_mod
+    from manga_translator_spark.plans.pipeline import PipelineConfig, extract
+    from manga_translator_spark.session import get_spark
+    from manga_translator_spark.sources.pages import corpus_df
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+
+    # --- flagship: extraction docs/sec over the seeded corpus -------------
+    pages = corpus_df(spark, n_pages, partitions=cpus * 2)
+    t0 = time.monotonic()
+    n_out = extract(pages, PipelineConfig()).count()
+    timings["extract_corpus"] = round(time.monotonic() - t0, 3)
+    assert n_out == n_pages, f"pass-through violated: {n_out} != {n_pages}"
+    docs_per_sec = round(n_pages / timings["extract_corpus"], 1)
+
+    # --- operator queries from the driver contract ------------------------
+    qs = entry_mod.queries()
+    for name in (
+        "pricing_summary",
+        "revenue_by_nation",
+        "order_fill_left_join",
+        "running_supplier_qty",
+        "top_order_per_cust",
+        "user_sessions",
+        "doc_langid",
+        "dedup_exact",
+        "minhash_signatures",
+        "lsh_candidate_pairs",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_lsh_bucket_stats",
+    ):
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extract_docs_per_sec": docs_per_sec,
+                "extract_pages": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

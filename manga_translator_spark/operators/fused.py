@@ -1,0 +1,91 @@
+"""Fused physical mode: parse -> classify -> clean -> recognize -> assemble
+in ONE mapInPandas pass, emitting only the compact per-page result.
+
+Why this exists (measured, 160k pages, local[32]): the staged plan ships
+every page's full nested ``blocks ARRAY<STRUCT<...>>`` back through Arrow
+into JVM rows only for the very next operators to reduce it to a short
+string + spans.  That materialization allocates tens of millions of short-
+lived JVM objects per run; the resulting GC pauses stall all executor
+threads and flat-line scaling (detect stage: 7-13s erratic).  Fusing the
+per-page stages keeps the heavy intermediate inside the Python worker and
+sends ~100 bytes/page back — the same reduction the reference applies when
+it inpaints patches instead of whole frames (cleaning/lama.py:45).
+
+This is also exactly the reference's execution shape: its pipeline runs all
+stages over one batch in one process (ImageToImagePipeline.__call__,
+image_to_image.py:91-172), with cross-record model batching inside the
+batch — which is what a real ONNX recognizer would do here per Arrow chunk
+(one session.run per batch over all pages' image blocks, reference
+detection/yolo.py:14-16).
+
+Byte-identity: computed by the SAME shared kernels as the staged plan and
+the oracle (functions/blocks.py et al.); tests assert staged == fused ==
+oracle.  The staged plan (plans/pipeline.py mode="staged") remains the
+composable/introspectable variant (until=, cleaner/assembler registries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from manga_translator_spark.functions.blocks import CLS_EMBEDDED_IMG, extract_blocks
+from manga_translator_spark.functions.normalize import is_blank
+from manga_translator_spark.functions.recognize_kernel import recognize_batch
+from manga_translator_spark.oracle import assemble
+from manga_translator_spark.schema import EXTRACTED_SCHEMA
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def extract_fused(pages: "DataFrame") -> "DataFrame":
+    """(url, html, ...) -> EXTRACTED_SCHEMA rows, one per input row.
+
+    Cross-page model batching: image payloads from ALL pages in the Arrow
+    batch go through one recognize_batch call (the reference's batched-
+    inference pattern), then scatter back by (page, block) index.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = list(pdf["url"])
+            page_blocks = [extract_blocks(h) for h in pdf["html"]]
+
+            # batched recognition across the whole Arrow chunk
+            flat_payloads, owners = [], []
+            for pi, blocks in enumerate(page_blocks):
+                for b in blocks:
+                    if b.cls == CLS_EMBEDDED_IMG and b.img_payload is not None:
+                        flat_payloads.append(b.img_payload)
+                        owners.append((pi, b.block_idx))
+            rec_texts = recognize_batch(flat_payloads) if flat_payloads else []
+            rec_by_page: dict[int, list[dict]] = {}
+            for (pi, bidx), txt in zip(owners, rec_texts):
+                if not is_blank(txt):
+                    rec_by_page.setdefault(pi, []).append(
+                        {"block_idx": bidx, "text": txt}
+                    )
+
+            out_text, out_spans, out_n, out_rec = [], [], [], []
+            for pi, blocks in enumerate(page_blocks):
+                text, spans = assemble(blocks)
+                out_text.append(text)
+                out_spans.append(
+                    [{"block_idx": i, "start": s, "end": e} for i, s, e in spans]
+                )
+                out_n.append(len(spans))
+                out_rec.append(sorted(rec_by_page.get(pi, []), key=lambda r: r["block_idx"]))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "extracted_text": out_text,
+                    "spans": out_spans,
+                    "n_blocks": out_n,
+                    "recognized": out_rec,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema=EXTRACTED_SCHEMA)

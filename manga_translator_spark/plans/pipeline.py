@@ -56,6 +56,11 @@ class PipelineConfig:
     enricher: str = "pipe"
     recognize: bool = True
     n_buckets: int | None = None  # optional url-hash repartition before UDFs
+    # physical mode: "fused" (default; one Python pass per page, compact
+    # Arrow output — see operators/fused.py for the measured rationale) or
+    # "staged" (composable Catalyst stages; required for until=/cleaner
+    # variants and selected automatically when those are used).
+    mode: str = "fused"
     extra: dict = field(default_factory=dict)
 
     @classmethod
@@ -86,6 +91,23 @@ def extract(pages: "DataFrame", config: PipelineConfig | None = None, *, until: 
         raise KeyError(f"unknown assembler {cfg.assembler!r}; have {sorted(ASSEMBLERS)}")
     if cfg.enricher not in ENRICHERS:
         raise KeyError(f"unknown enricher {cfg.enricher!r}; have {sorted(ENRICHERS)}")
+
+    needs_staged = (
+        until is not None
+        or cfg.mode == "staged"
+        or cfg.cleaner != "strip"
+        or cfg.assembler != "arrays"
+        or not cfg.recognize
+    )
+    if not needs_staged:
+        from manga_translator_spark.operators.fused import extract_fused
+
+        df = pages
+        if cfg.n_buckets:
+            from pyspark.sql import functions as F
+
+            df = df.repartition(cfg.n_buckets, F.xxhash64("url"))
+        return ENRICHERS[cfg.enricher](extract_fused(df))
 
     df = pages
     if cfg.n_buckets:

@@ -63,6 +63,19 @@ def test_empty_pages_present_with_empty_extraction(result_rows, golden):
         assert result_rows[u]["n_blocks"] == 0
 
 
+def test_fused_equals_staged_everywhere(pages_df, golden):
+    """The fused fast path (operators/fused.py) must be indistinguishable
+    from the staged Catalyst plan — and both from the oracle."""
+    staged = {r["url"]: r for r in extract(pages_df, PipelineConfig(mode="staged")).collect()}
+    fused = {r["url"]: r for r in extract(pages_df, PipelineConfig(mode="fused")).collect()}
+    assert set(staged) == set(fused)
+    for u in staged:
+        assert staged[u]["extracted_text"] == fused[u]["extracted_text"] == golden[u].extracted_text
+        assert staged[u]["spans"] == fused[u]["spans"]
+        assert staged[u]["recognized"] == fused[u]["recognized"]
+        assert staged[u]["n_blocks"] == fused[u]["n_blocks"]
+
+
 def test_assemblers_equivalent(pages_df):
     a = extract(pages_df, PipelineConfig(assembler="arrays", recognize=False))
     b = extract(pages_df, PipelineConfig(assembler="exploded", recognize=False))
