@@ -61,7 +61,7 @@ _TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
 _DATA_URI_RE = re.compile(r"^data:image/[a-z0-9.+-]+;base64,(.*)$", re.IGNORECASE | re.DOTALL)
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One flattened DOM block — the DetectionResult analogue.
 
@@ -124,7 +124,7 @@ def score_block(n_chars: int, n_link_chars: int, hint: bool) -> float:
     return density * 0.5 if hint else density
 
 
-@dataclass
+@dataclass(slots=True)
 class _OpenBlock:
     tag: str
     depth: int
@@ -219,6 +219,16 @@ class _BlockParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
+        # fast path: well-formed markup closes the top of the stack
+        if self._stack and self._stack[-1][0] == tag:
+            self._stack.pop()
+            if tag in SKIP_TAGS:
+                self._skip_depth = max(0, self._skip_depth - 1)
+            if tag == "a":
+                self._a_depth = max(0, self._a_depth - 1)
+            if tag in BLOCK_TAGS:
+                self._flush()
+            return
         # pop to the matching open tag; ignore stray end tags
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
@@ -282,19 +292,145 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def extract_blocks(html: bytes | str) -> list[Block]:
+# ---------------------------------------------------------------------------
+# Fast tokenizer engine
+# ---------------------------------------------------------------------------
+# Profiling shows ~85% of extract_blocks time inside stdlib html.parser's
+# tokenization machinery (regex scanning + position bookkeeping we never
+# use).  This tokenizer drives the SAME _BlockParser state machine through
+# its handle_* methods, so block semantics are defined once; a corpus-wide
+# test asserts engine equality (tests/test_kernels.py).  The stdlib engine
+# stays as the reference implementation and fallback.
+
+from html import unescape as _unescape  # noqa: E402
+
+_TAGNAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9_:.]*")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+)
+# everything up to the tag-closing '>' with quoted attr values respected
+# (html.parser's locatestarttagend_tolerant equivalent, single C-regex pass)
+_TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
+# raw-text elements: content runs to the literal close tag (html.parser's
+# CDATA_CONTENT_ELEMENTS)
+_RAWTEXT = ("script", "style")
+
+
+def _parse_attrs(rest: str) -> list[tuple[str, str | None]]:
+    attrs = []
+    for m in _ATTR_RE.finditer(rest):
+        name = m.group(1).lower()
+        val = m.group(2)
+        if val is not None:
+            if val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
+                val = val[1:-1]
+            if "&" in val:
+                val = _unescape(val)
+        attrs.append((name, val))
+    return attrs
+
+
+def _fast_feed(s: str, p: "_BlockParser") -> None:
+    i, n = 0, len(s)
+    lower = None  # lazily lowered copy for rawtext close-tag search
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            rest = s[i:]
+            if rest:
+                p.handle_data(_unescape(rest) if "&" in rest else rest)
+            break
+        if lt > i:
+            chunk = s[i:lt]
+            p.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        nxt = s[lt + 1 : lt + 2]
+        if nxt == "!":
+            if s.startswith("<!--", lt):
+                end = s.find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+            else:  # doctype / bogus declaration
+                end = s.find(">", lt + 1)
+                i = n if end < 0 else end + 1
+            continue
+        if nxt == "?":
+            end = s.find(">", lt + 1)
+            i = n if end < 0 else end + 1
+            continue
+        if nxt == "/":
+            end = s.find(">", lt + 2)
+            if end < 0:
+                break  # incomplete close tag at EOF: dropped (as stdlib)
+            m = _TAGNAME_RE.match(s, lt + 2)
+            if m:
+                p.handle_endtag(m.group(0).lower())
+            i = end + 1
+            continue
+        m = _TAGNAME_RE.match(s, lt + 1)
+        if not m:
+            p.handle_data("<")  # stray '<' is text (stdlib emits it as data)
+            i = lt + 1
+            continue
+        tm = _TAG_END_RE.match(s, m.end())
+        gt = tm.end()
+        if gt >= n or s[gt] != ">":
+            break  # incomplete open tag at EOF: buffered-forever in stdlib
+        tag = m.group(0).lower()
+        rest = s[m.end() : gt]
+        selfclosing = rest.endswith("/")
+        if selfclosing:
+            rest = rest[:-1]
+        # attrs matter only for hint detection (class/id/role) and <img src>
+        # — skip the regex for the common attr-bearing tags that carry
+        # neither (e.g. <a href>)
+        if rest:
+            rl = rest if rest.islower() else rest.lower()
+            if tag == "img" or "class" in rl or "id" in rl or "role" in rl:
+                attrs = _parse_attrs(rest)
+            else:
+                attrs = []
+        else:
+            attrs = []
+        if selfclosing:
+            p.handle_startendtag(tag, attrs)
+        else:
+            p.handle_starttag(tag, attrs)
+        i = gt + 1
+        if tag in _RAWTEXT and not selfclosing:
+            if lower is None:
+                lower = s.lower()
+            close = lower.find("</" + tag, i)
+            if close < 0:
+                # unterminated rawtext: rest of doc is script/style content
+                p.handle_endtag(tag)
+                break
+            end = s.find(">", close)
+            p.handle_endtag(tag)
+            i = n if end < 0 else end + 1
+
+
+DEFAULT_ENGINE = "fast"
+
+
+def extract_blocks(html: bytes | str, engine: str = DEFAULT_ENGINE) -> list[Block]:
     """Parse one page into its flat block list (document order).
 
     This is the shared kernel: the oracle calls it directly; the Spark
-    detect stage calls it per row inside an Arrow batch.
+    detect/fused stages call it per row inside an Arrow batch.  ``engine``
+    selects the tokenizer: "fast" (default; ~3x stdlib throughput) or
+    "stdlib" (html.parser, the reference implementation both are tested
+    against).  Both drive the same _BlockParser state machine.
     """
     text = decode_html(html) if isinstance(html, (bytes, bytearray, memoryview)) else (html or "")
     parser = _BlockParser()
     try:
-        parser.feed(text)
-        parser.close()
+        if engine == "fast":
+            _fast_feed(text, parser)
+            parser._flush()
+        else:
+            parser.feed(text)
+            parser.close()
     except Exception:
-        # html.parser is already tolerant; any residual parse error yields
+        # both engines are tolerant; any residual parse error yields
         # whatever blocks were collected — same behavior on both sides.
         parser._flush()
     return parser.blocks

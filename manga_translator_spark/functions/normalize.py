@@ -37,9 +37,16 @@ def normalize_text(raw: str) -> str:
     """
     if not raw:
         return ""
-    text = unicodedata.normalize("NFC", raw)
-    text = text.replace("…", "...")
-    text = _DOTS_RE.sub("...", text)
+    # fast guards: NFC is identity on ASCII; the dot-collapse rules only
+    # fire when their trigger chars are present (same output, fewer regexes)
+    if raw.isascii():
+        text = raw
+    else:
+        text = unicodedata.normalize("NFC", raw)
+        if "…" in text:
+            text = text.replace("…", "...")
+    if ".." in text or "・" in text:
+        text = _DOTS_RE.sub("...", text)
     text = _WS_RE.sub(" ", text).strip()
     return text
 

@@ -146,7 +146,7 @@ def main() -> int:
 
         r_lo = r_hi = None
         ceiling = None
-        for order in ((lo, hi), (hi, lo)):
+        for order in ((lo, hi), (hi, lo), (lo, hi)):
             for cores in order:
                 r = run(cores, path)
                 if cores == lo:

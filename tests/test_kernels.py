@@ -129,6 +129,31 @@ def test_classify_block_rules():
     assert classify_block(0, 0, False, True) == CLS_EMBEDDED_IMG
 
 
+def test_fast_engine_equals_stdlib_engine():
+    """The fast tokenizer drives the same state machine as html.parser and
+    must produce identical blocks over the whole corpus (incl. malformed,
+    charset and empty edge pages) and over adversarial snippets."""
+    from manga_translator_spark.corpus import generate_corpus
+
+    for row in generate_corpus(400):
+        assert extract_blocks(row["html"], engine="stdlib") == extract_blocks(
+            row["html"], engine="fast"
+        ), row["url"]
+    snippets = [
+        b"<p>a<!-- comment --><p>b</p>",
+        b"<!DOCTYPE html><p>Doc with enough characters to be main maybe.</p>",
+        b"<a href='q>x'>weird attr</a><p>after odd quoting of attributes.</p>",
+        b"<P CLASS='AD'>upper case tag and attr</P>",
+        b"<div id = 'sidebar'>spaced equals hint detection block here</div>",
+        b"<script>var a = '<p>not a block</p>';</script><p>Real block after script tag here.</p>",
+        b"<style>p{}</style>text outside blocks",
+        b"<img src=x><img><br><hr>",
+        b"1 < 2 but > 0",
+    ]
+    for s in snippets:
+        assert extract_blocks(s, engine="stdlib") == extract_blocks(s, engine="fast"), s
+
+
 # ---- recognition stub (T12 analogue) ------------------------------------
 
 
