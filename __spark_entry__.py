@@ -385,12 +385,19 @@ def _lsh_sig_duck(emb: str) -> str:
     return " + ".join(terms)
 
 
+from manga_translator_spark.functions.texthash import MINHASH_A, MINHASH_B, MINHASH_P
+
+_A_LIST = "[" + ", ".join(str(v) for v in MINHASH_A[: dedup.MINHASH_K]) + "]"
+_B_LIST = "[" + ", ".join(str(v) for v in MINHASH_B[: dedup.MINHASH_K]) + "]"
+
 _MINHASH_CTE = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
+hs AS (SELECT doc_id, list_transform(shingles, s -> {h60_duck('s')} % {MINHASH_P}) AS hvals FROM sh),
 sig AS (SELECT doc_id, list_transform(generate_series(0, {_K - 1}),
-          i -> list_min(list_transform(shingles, s -> {h60_duck("concat(i, ':', s)")}))) AS signature
-        FROM sh)
+          i -> list_min(list_transform(hvals,
+            h -> (({_A_LIST})[i + 1] * h + ({_B_LIST})[i + 1]) % {MINHASH_P}))) AS signature
+        FROM hs)
 """
 
 _BANDS_CTE = _MINHASH_CTE + f""",

@@ -16,6 +16,18 @@ from __future__ import annotations
 
 HASH_HEX_DIGITS = 15  # 60 bits < 2^63
 
+# MinHash universal-hash family over a Mersenne prime: sig_i = min over
+# shingles of (A[i]*h + B[i]) mod P with h = md5-hash(shingle) mod P.
+# One md5 per shingle (the expensive part) + k cheap integer transforms,
+# instead of k md5 invocations per shingle.  Constants are fixed/seeded and
+# embedded into BOTH engines' SQL.
+import random as _random
+
+MINHASH_P = 2147483647  # 2^31 - 1
+_rng = _random.Random(13)
+MINHASH_A = [(_rng.randrange(1, MINHASH_P - 1) | 1) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P - 1) for _ in range(64)]
+
 
 def h60_spark(x: str) -> str:
     return f"cast(conv(substr(md5({x}), 1, {HASH_HEX_DIGITS}), 16, 10) as bigint)"

@@ -27,6 +27,9 @@ from typing import TYPE_CHECKING
 from pyspark.sql import functions as F
 
 from manga_translator_spark.functions.texthash import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     h60_spark,
     shingles_spark,
     tokens_spark,
@@ -63,12 +66,24 @@ def _with_shingles(docs: "DataFrame", text_col: str) -> "DataFrame":
 
 
 def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K) -> "DataFrame":
-    """Per-doc MinHash signature: sig[i] = min over shingles of H(i, s)."""
-    per_shingle = h60_spark("concat(i, ':', s)")
-    sig = (
-        f"transform(sequence(0, {k - 1}), "
-        f"i -> array_min(transform(shingles, s -> {per_shingle})))"
-    )
+    """Per-doc MinHash signature via a universal-hash family:
+    ``sig[i] = min over shingles of (A[i]*h(s) + B[i]) mod P``.
+
+    Physical design: ONE md5 per shingle (the expensive part), k cheap
+    integer transforms, all inside a single ``aggregate`` fold so Catalyst
+    cannot re-inline the shingle hashing k times (higher-order lambdas are
+    interpreted, so expression count is the cost driver — the naive
+    k-md5s-per-shingle form ran ~8x slower and took ~30 s of codegen).
+    """
+    a_arr = "array(" + ", ".join(str(v) for v in MINHASH_A[:k]) + ")"
+    b_arr = "array(" + ", ".join(str(v) for v in MINHASH_B[:k]) + ")"
+    hs = f"transform(shingles, s -> {h60_spark('s')} % {MINHASH_P})"
+    sig = f"""aggregate(
+      {hs},
+      array_repeat(CAST({MINHASH_P} AS BIGINT), {k}),
+      (acc, h) -> transform(sequence(0, {k - 1}),
+        i -> least(element_at(acc, i + 1),
+                   (element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1)) % {MINHASH_P})))"""
     return _with_shingles(docs, text_col).select(
         "doc_id", F.expr(sig).alias("signature")
     )
