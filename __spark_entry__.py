@@ -304,6 +304,17 @@ def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _q_lang_norm(spark, sf):
+    from manga_translator_spark.functions.langcodes import normalize_lang
+
+    docs = _t(spark, sf, "documents")
+    return (
+        normalize_lang(docs, spark)
+        .groupBy("lang_norm")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pipeline": _q_extract_pipeline,  # rows-only (non-SQL)
@@ -321,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_set_ops": _q_segment_set_ops,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
+        "lang_normalize_dim_join": _q_lang_norm,
         "doc_token_stats": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
@@ -527,6 +539,14 @@ def oracle_sql() -> dict[str, str]:
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
               FROM events)
       ) GROUP BY user_id
+    """
+
+    from manga_translator_spark.functions.langcodes import values_sql
+
+    sql["lang_normalize_dim_join"] = f"""
+      SELECT coalesce(alpha2, lower(lang)) AS lang_norm, count(*) AS n
+      FROM documents LEFT JOIN {values_sql()} ON lower(lang) = alpha3
+      GROUP BY 1
     """
 
     sql["doc_token_stats"] = f"""

@@ -78,6 +78,22 @@ class PipelineConfig:
             return cls.from_dict(yaml.safe_load(f) or {})
 
 
+def describe() -> dict:
+    """Machine-readable registry of stage slots and their plugins — the
+    GET /info analogue (reference ui/main.py:223-305 enumerates every
+    plugin and its argument schema for the UI)."""
+    return {
+        "stages": list(STAGE_ORDER),
+        "slots": {
+            "cleaner": sorted(CLEANERS),
+            "assembler": sorted(ASSEMBLERS),
+            "enricher": sorted(ENRICHERS),
+        },
+        "modes": ["fused", "staged"],
+        "config_fields": sorted(PipelineConfig.__dataclass_fields__),
+    }
+
+
 def extract(pages: "DataFrame", config: PipelineConfig | None = None, *, until: str | None = None) -> "DataFrame":
     """Compose the extraction plan over a pages DataFrame.
 
