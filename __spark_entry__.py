@@ -304,6 +304,14 @@ def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _q_salted_event_counts(spark, sf):
+    # skew pattern: two-phase salted aggregate; result identical to a plain
+    # GROUP BY (the DuckDB twin) by construction
+    from manga_translator_spark.operators.host_stats import salted_group_count
+
+    return salted_group_count(_t(spark, sf, "events"), "event_type", "event_id")
+
+
 def _q_lang_norm(spark, sf):
     from manga_translator_spark.functions.langcodes import normalize_lang
 
@@ -332,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_set_ops": _q_segment_set_ops,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
+        "salted_event_counts": _q_salted_event_counts,
         "lang_normalize_dim_join": _q_lang_norm,
         "doc_token_stats": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -542,6 +551,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from manga_translator_spark.functions.langcodes import values_sql
+
+    sql["salted_event_counts"] = """
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """
 
     sql["lang_normalize_dim_join"] = f"""
       SELECT coalesce(alpha2, lower(lang)) AS lang_norm, count(*) AS n

@@ -34,9 +34,12 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     # --- flagship: extraction docs/sec over the seeded corpus -------------
+    from manga_translator_spark.operators.fused import create_stage_metrics
+
+    stage_acc = create_stage_metrics(spark)
     pages = corpus_df(spark, n_pages, partitions=cpus * 2)
     t0 = time.monotonic()
-    n_out = extract(pages, PipelineConfig()).count()
+    n_out = extract(pages, PipelineConfig(), metrics=stage_acc).count()
     timings["extract_corpus"] = round(time.monotonic() - t0, 3)
     assert n_out == n_pages, f"pass-through violated: {n_out} != {n_pages}"
     docs_per_sec = round(n_pages / timings["extract_corpus"], 1)
@@ -74,6 +77,7 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extract_docs_per_sec": docs_per_sec,
                 "extract_pages": n_pages,
+                "extract_stage_ms": {k: int(v.value) for k, v in stage_acc.items()},
                 "cpus": cpus,
             }
         )

@@ -41,18 +41,29 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
-def extract_fused(pages: "DataFrame") -> "DataFrame":
+def create_stage_metrics(spark) -> dict:
+    """Per-stage wall-time accumulators (ms), updated from every executor
+    batch — the lineage/metrics per-stage timing promised in FIXTURES.md §4
+    / SURVEY §6 (the reference has no metrics at all)."""
+    sc = spark.sparkContext
+    return {name: sc.accumulator(0) for name in ("parse_ms", "recognize_ms", "assemble_ms")}
+
+
+def extract_fused(pages: "DataFrame", metrics: dict | None = None) -> "DataFrame":
     """(url, html, ...) -> EXTRACTED_SCHEMA rows, one per input row.
 
     Cross-page model batching: image payloads from ALL pages in the Arrow
     batch go through one recognize_batch call (the reference's batched-
     inference pattern), then scatter back by (page, block) index.
     """
+    import time
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls = list(pdf["url"])
+            t0 = time.perf_counter()
             page_blocks = [extract_blocks(h) for h in pdf["html"]]
+            t1 = time.perf_counter()
 
             # batched recognition across the whole Arrow chunk
             flat_payloads, owners = [], []
@@ -62,6 +73,7 @@ def extract_fused(pages: "DataFrame") -> "DataFrame":
                         flat_payloads.append(b.img_payload)
                         owners.append((pi, b.block_idx))
             rec_texts = recognize_batch(flat_payloads) if flat_payloads else []
+            t2 = time.perf_counter()
             rec_by_page: dict[int, list[dict]] = {}
             for (pi, bidx), txt in zip(owners, rec_texts):
                 if not is_blank(txt):
@@ -78,6 +90,11 @@ def extract_fused(pages: "DataFrame") -> "DataFrame":
                 )
                 out_n.append(len(spans))
                 out_rec.append(sorted(rec_by_page.get(pi, []), key=lambda r: r["block_idx"]))
+            if metrics is not None:
+                t3 = time.perf_counter()
+                metrics["parse_ms"].add(int((t1 - t0) * 1000))
+                metrics["recognize_ms"].add(int((t2 - t1) * 1000))
+                metrics["assemble_ms"].add(int((t3 - t2) * 1000))
             yield pd.DataFrame(
                 {
                     "url": urls,

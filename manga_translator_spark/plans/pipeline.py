@@ -94,7 +94,13 @@ def describe() -> dict:
     }
 
 
-def extract(pages: "DataFrame", config: PipelineConfig | None = None, *, until: str | None = None) -> "DataFrame":
+def extract(
+    pages: "DataFrame",
+    config: PipelineConfig | None = None,
+    *,
+    until: str | None = None,
+    metrics: dict | None = None,
+) -> "DataFrame":
     """Compose the extraction plan over a pages DataFrame.
 
     ``until`` stops after the named stage and returns that intermediate
@@ -123,7 +129,7 @@ def extract(pages: "DataFrame", config: PipelineConfig | None = None, *, until: 
             from pyspark.sql import functions as F
 
             df = df.repartition(cfg.n_buckets, F.xxhash64("url"))
-        return ENRICHERS[cfg.enricher](extract_fused(df))
+        return ENRICHERS[cfg.enricher](extract_fused(df, metrics=metrics))
 
     df = pages
     if cfg.n_buckets:

@@ -92,5 +92,6 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("rows_in", T.LongType(), False),
         T.StructField("rows_out", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("stage_ms", T.MapType(T.StringType(), T.LongType()), True),
     ]
 )

@@ -27,6 +27,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
+from manga_translator_spark.operators.fused import create_stage_metrics
 from manga_translator_spark.plans.pipeline import PipelineConfig, extract
 from manga_translator_spark.schema import LINEAGE_SCHEMA
 from manga_translator_spark.sources.pages import with_bucket
@@ -84,10 +85,11 @@ def run_extraction(
         group = todo[lo : lo + buckets_per_job]
         t0 = time.monotonic()
         part = bucketed.filter(F.col("bucket").isin(group))
+        stage_acc = create_stage_metrics(spark)
         try:
             if fail_buckets and set(group) & fail_buckets:
                 raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
-            result = extract(part, config).join(
+            result = extract(part, config, metrics=stage_acc).join(
                 part.select("url", "bucket"), "url", "left"
             )
             # count once per group from the written data, not an extra job
@@ -114,18 +116,19 @@ def run_extraction(
                 .collect()
             }
             wall = int((time.monotonic() - t0) * 1000)
+            stage_ms = {k: int(v.value) for k, v in stage_acc.items()}
             _append_lineage(
                 spark,
                 lineage_path,
                 [
-                    (run_id, b, "done", rows_in.get(b, 0), rows_out.get(b, 0), wall)
+                    (run_id, b, "done", rows_in.get(b, 0), rows_out.get(b, 0), wall, stage_ms)
                     for b in group
                 ],
             )
         except Exception:
             wall = int((time.monotonic() - t0) * 1000)
             _append_lineage(
-                spark, lineage_path, [(run_id, b, "failed", -1, -1, wall) for b in group]
+                spark, lineage_path, [(run_id, b, "failed", -1, -1, wall, {}) for b in group]
             )
             raise
     return run_id
