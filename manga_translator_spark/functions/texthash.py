@@ -62,11 +62,17 @@ def tokens_duck(col: str) -> str:
 
 # Word shingles (w tokens, space-joined); short docs yield one whole-doc shingle.
 def shingles_spark(tokens: str, w: int = 3) -> str:
-    return f"""CASE WHEN size({tokens}) < {w}
-      THEN array(array_join({tokens}, ' '))
-      ELSE transform(sequence(1, size({tokens}) - {w - 1}),
-                     i -> array_join(slice({tokens}, i, {w}), ' '))
+    """SQL has no let-bindings, so bind the evaluated token array to a
+    lambda variable via a single-element ``transform`` — otherwise the
+    tokenizer expression is textually inlined into the per-element
+    ``slice(...)`` lambda and re-tokenizes the document once per shingle
+    (measured: 12s -> ~1s on 5000 docs for the shingle stage alone)."""
+    body = f"""CASE WHEN size(tks) < {w}
+      THEN array(array_join(tks, ' '))
+      ELSE transform(sequence(1, size(tks) - {w - 1}),
+                     i -> array_join(slice(tks, i, {w}), ' '))
       END"""
+    return f"element_at(transform(array({tokens}), tks -> {body}), 1)"
 
 
 def shingles_duck(tokens: str, w: int = 3) -> str:

@@ -26,6 +26,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
+from manga_translator_spark.operators.common import spread
 from manga_translator_spark.functions.texthash import (
     MINHASH_A,
     MINHASH_B,
@@ -62,7 +63,7 @@ def dedup_exact(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
 
 def _with_shingles(docs: "DataFrame", text_col: str) -> "DataFrame":
     toks = tokens_spark(text_col)
-    return docs.withColumn("shingles", F.expr(shingles_spark(toks, SHINGLE_W)))
+    return spread(docs).withColumn("shingles", F.expr(shingles_spark(toks, SHINGLE_W)))
 
 
 def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K) -> "DataFrame":
@@ -173,6 +174,6 @@ def simhash(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
     END"""
     return (
-        docs.withColumn("hashes", F.expr(f"transform({toks}, t -> {th})"))
+        spread(docs).withColumn("hashes", F.expr(f"transform({toks}, t -> {th})"))
         .select("doc_id", F.expr(expr).alias("simhash"))
     )

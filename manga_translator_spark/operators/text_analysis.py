@@ -19,6 +19,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import functions as F
 
 from manga_translator_spark.functions.texthash import h60_spark, tokens_spark
+from manga_translator_spark.operators.common import spread
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
@@ -34,7 +35,7 @@ LANGS = sorted(STOPWORDS)  # deterministic tie order: de < en < fr
 
 
 def with_tokens(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
-    return docs.withColumn("tokens", F.expr(tokens_spark(text_col))).withColumn(
+    return spread(docs).withColumn("tokens", F.expr(tokens_spark(text_col))).withColumn(
         "n_tokens", F.size("tokens")
     )
 
