@@ -304,6 +304,36 @@ def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _q_rollup_geo(spark, sf):
+    # hierarchical rollup region -> nation (grouping-sets family, with cube
+    # covered by returns_cube)
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "acctbal",
+        )
+    )
+
+
+def _q_value_percentiles(spark, sf):
+    # exact percentiles (Spark percentile == linear interpolation ==
+    # DuckDB quantile_cont); rounded to absorb float formatting
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 def _q_salted_event_counts(spark, sf):
     # skew pattern: two-phase salted aggregate; result identical to a plain
     # GROUP BY (the DuckDB twin) by construction
@@ -340,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_set_ops": _q_segment_set_ops,
         "events_json": _q_events_json,
         "user_sessions": _q_user_sessions,
+        "rollup_geo": _q_rollup_geo,
+        "value_percentiles": _q_value_percentiles,
         "salted_event_counts": _q_salted_event_counts,
         "lang_normalize_dim_join": _q_lang_norm,
         "doc_token_stats": _q_doc_tokens,
@@ -551,6 +583,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from manga_translator_spark.functions.langcodes import values_sql
+
+    sql["rollup_geo"] = """
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+             count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+    """
+
+    sql["value_percentiles"] = """
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.9), 6) AS p90
+      FROM events GROUP BY event_type
+    """
 
     sql["salted_event_counts"] = """
       SELECT event_type, count(*) AS n FROM events GROUP BY event_type

@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--assembler", default="arrays")
     p.add_argument("--enricher", default="pipe")
     p.add_argument("--no-recognize", action="store_true")
+    p.add_argument(
+        "--until",
+        choices=["detect", "classify", "clean", "assemble", "recognize"],
+        help="stop after this stage and write the intermediate table "
+        "(prefix-composability: the reference UI's /clean endpoint analogue)",
+    )
     p.add_argument("--config", help="YAML pipeline config (overrides the stage flags)")
     args = p.parse_args(argv)
     if not args.input and not args.n_pages:
@@ -69,6 +75,20 @@ def main(argv: list[str] | None = None) -> int:
             if args.input
             else corpus_df(spark, args.n_pages)
         )
+        if args.until:
+            from manga_translator_spark.plans.pipeline import extract
+
+            t0 = time.monotonic()
+            from pyspark.sql import functions as F
+
+            df = extract(pages, cfg, until=args.until)
+            if "blocks" in df.columns:
+                df = df.withColumn("n_blocks", F.size("blocks"))
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            wall = time.monotonic() - t0
+            print(json.dumps({"until": args.until, "rows": n, "wall_sec": round(wall, 2)}))
+            return 0
         t0 = time.monotonic()
         run_id = run_extraction(
             spark,

@@ -129,6 +129,32 @@ def test_classify_block_rules():
     assert classify_block(0, 0, False, True) == CLS_EMBEDDED_IMG
 
 
+_HTMLISH = st.lists(
+    st.sampled_from(
+        list("abcdefg <>/=\"'&;!?-.\nちは日本")
+        + ["<p>", "</p>", "<div class='ad'>", "<a href='/x'>", "</a>", "&amp;", "&#65;",
+           "<script>", "</script>", "<!--", "-->", "<img src=x>", "<br>"]
+    ),
+    max_size=120,
+).map("".join)
+
+
+@given(_HTMLISH)
+@settings(max_examples=300, deadline=None)
+def test_parser_fuzz_deterministic_and_total(s):
+    """Any input parses without raising, deterministically, with valid
+    block invariants (the tolerant-parser contract; FIXTURES malformed
+    edge case, generalized)."""
+    a = extract_blocks(s.encode("utf-8"))
+    b = extract_blocks(s.encode("utf-8"))
+    assert a == b
+    for i, blk in enumerate(a):
+        assert blk.block_idx == i
+        assert blk.n_chars == len(blk.text)
+        assert 0 <= blk.n_link_chars
+        assert blk.cls in (0, 1, 2)
+
+
 def test_fast_engine_equals_stdlib_engine():
     """The fast tokenizer drives the same state machine as html.parser and
     must produce identical blocks over the whole corpus (incl. malformed,
