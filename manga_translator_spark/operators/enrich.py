@@ -44,7 +44,44 @@ def make_enrich_debug(constant: str = "meow") -> Callable[["DataFrame"], "DataFr
     return enrich
 
 
+def enrich_batched(df: "DataFrame") -> "DataFrame":
+    """The external-model batching pattern (OpenAI translator analogue).
+
+    The reference joins a batch of strings with ``<s>``, makes ONE model
+    call, and splits the response back (translation/openai.py:59-73).
+    Relationally that is: group -> ``concat_ws`` -> one call per group ->
+    ``split`` -> posexplode, re-keyed by position within the group.  The
+    "model" here is identity (no network), so output equals input — the
+    test asserts exactly that, which proves the round-trip bookkeeping.
+    """
+    from pyspark.sql import functions as F
+
+    sep = "␞"  # symbol-for-record-separator: not produced by normalize_text
+    grouped = (
+        df.withColumn("_grp", F.pmod(F.xxhash64("url"), F.lit(64)))
+        .groupBy("_grp")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("url", "extracted_text"))).alias("batch")
+        )
+        .withColumn("joined", F.expr(f"array_join(transform(batch, x -> x.extracted_text), '{sep}')"))
+        # one external call per group would happen here (mapInPandas);
+        # identity model keeps the engine deterministic and offline
+        .withColumn("response", F.col("joined"))
+        .withColumn("parts", F.split("response", sep, -1))
+    )
+    exploded = grouped.select(
+        F.posexplode("batch").alias("pos", "item"), F.col("parts")
+    ).select(
+        F.col("item.url").alias("url"),
+        F.expr("element_at(parts, pos + 1)").alias("enriched_text"),
+    )
+    return df.join(exploded, "url", "left").withColumn(
+        "extracted_text", F.coalesce("enriched_text", "extracted_text")
+    ).drop("enriched_text")
+
+
 ENRICHERS: dict[str, Callable[["DataFrame"], "DataFrame"]] = {
     "pipe": enrich_pipe,
     "debug": make_enrich_debug(),
+    "batched": enrich_batched,
 }

@@ -109,6 +109,15 @@ def test_debug_enricher_constant(pages_df):
     assert vals == ["meow"]
 
 
+def test_batched_enricher_roundtrip_identity(pages_df, golden):
+    """<s>-join / one-call / split round trip (OpenAI-translator batching
+    analogue) with an identity model must be a no-op byte-wise."""
+    out = extract(pages_df, PipelineConfig(enricher="batched")).collect()
+    assert len(out) == len(golden)
+    for r in out:
+        assert r["extracted_text"] == golden[r["url"]].extracted_text
+
+
 def test_bucketed_repartition_does_not_change_results(pages_df, golden):
     out = extract(pages_df, PipelineConfig(n_buckets=16)).collect()
     for r in out:
