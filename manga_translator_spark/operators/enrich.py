@@ -56,14 +56,21 @@ def enrich_batched(df: "DataFrame") -> "DataFrame":
     """
     from pyspark.sql import functions as F
 
-    sep = "␞"  # symbol-for-record-separator: not produced by normalize_text
+    # Separator collision handling: the reference splits the LLM response on
+    # a bare '<s>' and corrupts any text containing it (openai.py:71-73).
+    # We escape instead: ESC -> ESC+'E', SEP -> ESC+'S' before joining, and
+    # invert after splitting — lossless for ALL inputs (probe-tested).
+    sep, esc = "␞", "␛"
+    enc = (
+        f"replace(replace(x.extracted_text, '{esc}', '{esc}E'), '{sep}', '{esc}S')"
+    )
     grouped = (
         df.withColumn("_grp", F.pmod(F.xxhash64("url"), F.lit(64)))
         .groupBy("_grp")
         .agg(
             F.array_sort(F.collect_list(F.struct("url", "extracted_text"))).alias("batch")
         )
-        .withColumn("joined", F.expr(f"array_join(transform(batch, x -> x.extracted_text), '{sep}')"))
+        .withColumn("joined", F.expr(f"array_join(transform(batch, x -> {enc}), '{sep}')"))
         # one external call per group would happen here (mapInPandas);
         # identity model keeps the engine deterministic and offline
         .withColumn("response", F.col("joined"))
@@ -73,7 +80,10 @@ def enrich_batched(df: "DataFrame") -> "DataFrame":
         F.posexplode("batch").alias("pos", "item"), F.col("parts")
     ).select(
         F.col("item.url").alias("url"),
-        F.expr("element_at(parts, pos + 1)").alias("enriched_text"),
+        F.expr(
+            f"replace(replace(element_at(parts, pos + 1), '{esc}S', '{sep}'), "
+            f"'{esc}E', '{esc}')"
+        ).alias("enriched_text"),
     )
     return df.join(exploded, "url", "left").withColumn(
         "extracted_text", F.coalesce("enriched_text", "extracted_text")

@@ -118,6 +118,22 @@ def test_batched_enricher_roundtrip_identity(pages_df, golden):
         assert r["extracted_text"] == golden[r["url"]].extracted_text
 
 
+def test_batched_enricher_separator_collision(spark):
+    """Text containing the separator/escape chars must survive the batch
+    round trip (the reference's bare '<s>' split corrupts such inputs —
+    our escaping must not)."""
+    from manga_translator_spark.schema import PAGES_SCHEMA
+
+    rows = [
+        ("u1", None, ("<p>" + "x" * 30 + "␞ sep and ␛ esc and ␛S ␛E combos.</p>").encode(), "", "en"),
+        ("u2", None, ("<p>␛␛␞␞␛S␛E" + "y" * 40 + "</p>").encode(), "", "en"),
+    ]
+    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    a = {r["url"]: r["extracted_text"] for r in extract(df, PipelineConfig(enricher="batched")).collect()}
+    b = {r["url"]: r["extracted_text"] for r in extract(df, PipelineConfig()).collect()}
+    assert a == b
+
+
 def test_bucketed_repartition_does_not_change_results(pages_df, golden):
     out = extract(pages_df, PipelineConfig(n_buckets=16)).collect()
     for r in out:
