@@ -422,12 +422,6 @@ def _dot_duck(a: str, b: str, dim: int = similarity.EMB_DIM) -> str:
     )
 
 
-def _planes_duck() -> str:
-    return "[" + ", ".join(
-        "[" + ", ".join(str(v) for v in p) + "]" for p in similarity.PLANES
-    ) + "]"
-
-
 def _lsh_sig_duck(emb: str) -> str:
     terms = []
     for j, plane in enumerate(similarity.PLANES):

@@ -37,14 +37,6 @@ def h60_duck(x: str) -> str:
     return f"(('0x' || substr(md5({x}), 1, {HASH_HEX_DIGITS}))::UBIGINT)::BIGINT"
 
 
-def seeded_spark(seed: int, x: str) -> str:
-    return h60_spark(f"concat('{seed}:', {x})")
-
-
-def seeded_duck(seed: int, x: str) -> str:
-    return h60_duck(f"concat('{seed}:', {x})")
-
-
 # Tokenization: lowercase, strip non-alphanumerics, split on whitespace.
 def tokens_spark(col: str) -> str:
     return (

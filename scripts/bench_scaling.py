@@ -14,7 +14,8 @@ Methodology (mirrors how the job runs at 100 TB):
 * the timed job runs twice per level; the steady-state (second) run is
   reported — cold-JIT noise is not a scaling property.
 
-Writes BENCH/BASELINE.md.  Usage: python scripts/bench_scaling.py [n_pages]
+Writes BENCH/scaling_latest.md (BENCH/BASELINE.md holds the curated
+multi-session summary).  Usage: python scripts/bench_scaling.py [n_pages]
 """
 
 from __future__ import annotations
@@ -64,43 +65,41 @@ spark.stop()
 
 
 CONTROL = r"""
-# hardware-ceiling control: the SAME parse kernel over the SAME pages via
-# plain multiprocessing (no Spark) — measures what the sandbox VM itself
-# delivers from 8 -> 32 procs on this memory-bound workload.
-import json, sys, time
+# hardware-ceiling control: the SAME end-to-end job (parquet scan ->
+# decompress -> parse) via plain multiprocessing, one file per task —
+# mirroring Spark's file-per-task scan so IO and decode are included in
+# both measurements.
+import glob, json, os, sys, time
 import multiprocessing as mp
 sys.path.insert(0, {repo!r})
-import pyarrow.parquet as pq
 
-HTML = None
+path = sys.argv[1]
+FILES = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
 
-def init(path):
-    global HTML
-    HTML = pq.read_table(path, columns=["html"]).column("html").to_pylist()
-
-def parse(rng):
-    lo, hi = rng
+def work(f):
+    import pyarrow.parquet as pq
     from manga_translator_spark.functions.blocks import extract_blocks
-    n = 0
-    for i in range(lo, hi):
-        n += len(extract_blocks(HTML[i]))
-    return n
+    tbl = pq.read_table(f, columns=["html"], use_threads=False)
+    c = 0
+    for h in tbl.column("html").to_pylist():
+        c += len(extract_blocks(h))
+    return c
 
 if __name__ == "__main__":
-    path = sys.argv[1]
-    import glob, os
-    files = glob.glob(os.path.join(path, "*.parquet")) if os.path.isdir(path) else [path]
-    n = sum(pq.read_metadata(f).num_rows for f in files)
-    chunks = [(i * n // 128, (i + 1) * n // 128) for i in range(128)]
     res = {{}}
+    n_rows = None
     for procs in (8, 32):
         best = 1e9
-        with mp.Pool(procs, initializer=init, initargs=(path,)) as p:
-            p.map(parse, chunks[:8])
-            for _ in range(3):
-                t0 = time.monotonic(); p.map(parse, chunks)
+        with mp.Pool(procs) as p:
+            p.map(work, FILES[:8])
+            for _ in range(2):
+                t0 = time.monotonic()
+                counts = p.map(work, FILES)
                 best = min(best, time.monotonic() - t0)
-        res[str(procs)] = n / best
+        import pyarrow.parquet as pq
+        if n_rows is None:
+            n_rows = sum(pq.read_metadata(f).num_rows for f in FILES)
+        res[str(procs)] = n_rows / best
     print("RESULT " + json.dumps(res))
 """
 
@@ -174,7 +173,8 @@ def main() -> int:
         "generated": dt.datetime.now(dt.timezone.utc).isoformat(),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # fresh runs land here; BENCH/BASELINE.md is the curated multi-session summary
+    md = os.path.join(REPO, "BENCH", "scaling_latest.md")
     with open(md, "w") as f:
         f.write(
             f"""# BENCH baseline — extraction throughput + scaling evidence
