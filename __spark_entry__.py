@@ -36,6 +36,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make manga_translator_spark importable on executor Python workers.
+
+    The driver imports this module via sys.path, but Spark's Python workers
+    inherit neither the driver's sys.path mutations nor its cwd — a session
+    created outside /root/repo fails to unpickle the mapInPandas closures.
+    Shipping a zip via addPyFile is the same mechanism scripts/submit.sh
+    uses (--py-files) and is idempotent per session.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "manga_translator_spark")
+    staging = tempfile.mkdtemp(prefix="mts_pyfiles_")
+    zip_base = os.path.join(staging, "manga_translator_spark_pkg")
+    archive = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="manga_translator_spark")
+    spark.sparkContext.addPyFile(archive)
+    _SHIPPED.add(key)
+
+
 # --------------------------------------------------------------------------
 # flagship: pages synthesized deterministically from the documents table,
 # run through the full extraction pipeline (detect -> classify -> clean ->
@@ -66,6 +92,7 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
     out = extract(pages, PipelineConfig())
     return out.select("url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json"))
@@ -74,6 +101,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (HTML parsing isn't SQL-expressible); byte-identity vs
     # the single-process oracle is covered by tests/test_pipeline.py.
+    _ensure_shipped(spark)
     pages = _pages_from_documents(spark, sf_dir)
     return extract(pages, PipelineConfig()).select(
         "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
