@@ -263,6 +263,9 @@ def _q_events_json(spark, sf):
 def _q_user_sessions(spark, sf):
     from pyspark.sql import Window as W
 
+    # NTZ -> instant uses the session tz; pin UTC so a non-UTC driver
+    # session can't shift gaps across DST transitions vs DuckDB's epoch_us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # integer microseconds: exact on both engines (unix_timestamp truncates)
