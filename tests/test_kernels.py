@@ -204,6 +204,24 @@ def test_corpus_deterministic_and_order_free():
     assert a["html"].startswith(b"<html>")
 
 
+def test_giant_page_skew_probe():
+    """The 42424 skew-probe page (1000 paragraphs) parses and assembles
+    correctly — the one-mega-page-per-bucket straggler case (SURVEY §7)."""
+    from manga_translator_spark.oracle import extract_page
+
+    row = generate_page(42424)
+    e = extract_page(row["url"], row["html"])
+    # most of the 1000 paragraphs are MAIN; a few random ones fall under
+    # the 25-char threshold (correctly classified boilerplate)
+    assert 900 <= e.n_blocks <= 1000
+    assert e.spans[-1][2] == len(e.extracted_text)
+    # spans strictly ordered and non-overlapping
+    prev = -1
+    for _, start, end in e.spans:
+        assert start > prev and end >= start
+        prev = end
+
+
 def test_corpus_edge_pages():
     empty = generate_page(0)  # 0 % 97 == 0 -> empty body
     assert b"<body></body>" in empty["html"]
