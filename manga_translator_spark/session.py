@@ -47,7 +47,26 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """addPyFile the engine package so executor Python workers can import
+    it regardless of the driver's cwd/sys.path (same mechanism as
+    scripts/submit.sh --py-files)."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="mts_pyfiles_")
+    archive = shutil.make_archive(
+        os.path.join(staging, "manga_translator_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="manga_translator_spark",
+    )
+    spark.sparkContext.addPyFile(archive)
 
 
 def _core_count(master: str) -> int:
