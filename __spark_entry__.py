@@ -99,8 +99,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (HTML parsing isn't SQL-expressible); byte-identity vs
-    # the single-process oracle is covered by tests/test_pipeline.py.
+    # Full-pipeline check with a DuckDB twin: the synthesized page template
+    # is fixed, so the expected extraction is SQL-expressible (see
+    # oracle_sql()["extract_pipeline"]).  Byte-identity against the
+    # single-process oracle on *arbitrary* HTML (incl. malformed/charset
+    # edge pages) is covered separately by tests/test_pipeline.py.
     _ensure_shipped(spark)
     pages = _pages_from_documents(spark, sf_dir)
     return extract(pages, PipelineConfig()).select(
@@ -264,18 +267,24 @@ def _q_user_sessions(spark, sf):
     from pyspark.sql import Window as W
 
     # NTZ -> instant uses the session tz; pin UTC so a non-UTC driver
-    # session can't shift gaps across DST transitions vs DuckDB's epoch_us
+    # session can't shift gaps across DST transitions vs DuckDB's epoch_us.
+    # The pin is scoped to plan *analysis* (timezone binds into the resolved
+    # expressions eagerly) and restored after — no session-wide side effect.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    e = _t(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # integer microseconds: exact on both engines (unix_timestamp truncates)
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ -> UTC instant
-    gap = ts_us - F.lag(ts_us).over(w)
-    return (
-        e.withColumn("new_session", F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0))
-        .groupBy("user_id")
-        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
-    )
+    try:
+        e = _t(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        # integer microseconds: exact on both engines (unix_timestamp truncates)
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ -> UTC instant
+        gap = ts_us - F.lag(ts_us).over(w)
+        return (
+            e.withColumn("new_session", F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 # --------------------------------------------------------------------------
@@ -386,7 +395,7 @@ def _q_lang_norm(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "extract_pipeline": _q_extract_pipeline,  # rows-only (non-SQL)
+        "extract_pipeline": _q_extract_pipeline,
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "order_fill_left_join": _q_order_fill,
@@ -499,6 +508,35 @@ pairs AS (
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
+    # Flagship twin.  The _pages_from_documents template yields exactly three
+    # candidate blocks per page: nav (hint tag -> boilerplate), the article
+    # <p> carrying documents.text, and the footer <p> (inherited hint ->
+    # boilerplate).  The article block is MAIN iff its normalized text has
+    # >= MIN_MAIN_CHARS chars (it has no links, so the link-density rule
+    # can't fire), and it is always block_idx 1 (nav flushes as idx 0).
+    # Normalization twin of functions/normalize.py normalize_text: NFC,
+    # ellipsis -> '...', [・.]{2,} run rewrite (identity for the pure-dot
+    # runs RE2 can express; ・ does not occur in the corpus), whitespace-run
+    # collapse with the exact Python-\s char class, trim.
+    from manga_translator_spark.functions.blocks import MIN_MAIN_CHARS
+
+    _norm = (
+        r"trim(regexp_replace(replace(nfc_normalize(text), '…', '...'),"
+        r" '[\t-\r\x1c-\x1f\x85\p{Z}]+', ' ', 'g'))"
+    )
+    sql["extract_pipeline"] = f"""
+      WITH norm AS (
+        SELECT 'doc://' || doc_id::VARCHAR AS url, {_norm} AS t FROM documents
+      )
+      SELECT url,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS} THEN t ELSE '' END AS extracted_text,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS} THEN 1 ELSE 0 END AS n_blocks,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS}
+                  THEN '[{{"block_idx":1,"start":0,"end":' || length(t)::VARCHAR || '}}]'
+                  ELSE '[]' END AS spans_json
+      FROM norm
+    """
+
     sql["pricing_summary"] = """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -597,8 +635,11 @@ def oracle_sql() -> dict[str, str]:
       FROM events GROUP BY event_type
     """
 
+    # sum(new_session) must be cast: DuckDB types a bare integer sum as
+    # HUGEINT (int128) whose canonical hash differs from Spark's BIGINT even
+    # when every value is equal (confirmed root cause of the r01 mismatch).
     sql["user_sessions"] = """
-      SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events FROM (
         SELECT user_id,
                CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600 * 1000000 THEN 1 ELSE 0 END AS new_session
         FROM (SELECT user_id, ts,
@@ -649,9 +690,9 @@ def oracle_sql() -> dict[str, str]:
     upper = "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))"
     sql["doc_quality"] = f"""
       SELECT doc_id, length(text) AS n_chars_raw,
-             ({punct}) / (length(text) + 1.0) AS punct_ratio,
-             ({digit}) / (length(text) + 1.0) AS digit_ratio,
-             ({upper}) / (length(text) + 1.0) AS upper_ratio,
+             round(({punct}) / (length(text) + 1.0), 6) AS punct_ratio,
+             round(({digit}) / (length(text) + 1.0), 6) AS digit_ratio,
+             round(({upper}) / (length(text) + 1.0), 6) AS upper_ratio,
              CASE WHEN length(text) >= 100
                    AND ({punct}) / (length(text) + 1.0) < 0.1
                    AND ({digit}) / (length(text) + 1.0) < 0.2

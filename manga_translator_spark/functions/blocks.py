@@ -305,15 +305,25 @@ class _BlockParser(HTMLParser):
 from html import unescape as _unescape  # noqa: E402
 
 _TAGNAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9_:.]*")
+# End-tag handling mirrors html.parser.parse_endtag exactly: first the
+# strict form (whitespace allowed around the name), then the tolerant
+# name grab (any non-space/slash/gt chars), else bogus-comment skip.
+_ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
+_ENDNAME_TOLERANT_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />]*")  # tagfind_tolerant
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
 # everything up to the tag-closing '>' with quoted attr values respected
 # (html.parser's locatestarttagend_tolerant equivalent, single C-regex pass)
 _TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
-# raw-text elements: content runs to the literal close tag (html.parser's
-# CDATA_CONTENT_ELEMENTS)
+# raw-text elements: content runs to the close tag (html.parser's
+# CDATA_CONTENT_ELEMENTS).  The close-tag search uses the same pattern the
+# stdlib engine binds in set_cdata_mode — r'</\s*{tag}\s*>' — so
+# adversarial forms like '</ script>' or '</script x>' parse identically
+# on both engines (engine-equality invariant; snippets pinned in
+# tests/test_kernels.py).
 _RAWTEXT = ("script", "style")
+_RAWTEXT_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t) for t in _RAWTEXT}
 
 
 def _parse_attrs(rest: str) -> list[tuple[str, str | None]]:
@@ -357,13 +367,21 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
             i = n if end < 0 else end + 1
             continue
         if nxt == "/":
-            end = s.find(">", lt + 2)
-            if end < 0:
+            if s.find(">", lt + 2) < 0:
                 break  # incomplete close tag at EOF: dropped (as stdlib)
-            m = _TAGNAME_RE.match(s, lt + 2)
-            if m:
-                p.handle_endtag(m.group(0).lower())
-            i = end + 1
+            m = _ENDTAG_RE.match(s, lt)
+            if m:  # strict '</ name >' form
+                p.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            nm = _ENDNAME_TOLERANT_RE.match(s, lt + 2)
+            if nm:  # tolerant: junk between name and '>' is consumed
+                p.handle_endtag(nm.group(0).lower())
+                i = s.find(">", nm.end()) + 1
+                if i == 0:
+                    break
+                continue
+            i = s.find(">", lt + 2) + 1  # '</>' / bogus comment: skip it
             continue
         m = _TAGNAME_RE.match(s, lt + 1)
         if not m:
@@ -398,14 +416,13 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
         if tag in _RAWTEXT and not selfclosing:
             if lower is None:
                 lower = s.lower()
-            close = lower.find("</" + tag, i)
-            if close < 0:
+            cm = _RAWTEXT_CLOSE[tag].search(lower, i)
+            if cm is None:
                 # unterminated rawtext: rest of doc is script/style content
                 p.handle_endtag(tag)
                 break
-            end = s.find(">", close)
             p.handle_endtag(tag)
-            i = n if end < 0 else end + 1
+            i = cm.end()
 
 
 DEFAULT_ENGINE = "fast"

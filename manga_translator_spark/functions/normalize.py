@@ -21,9 +21,17 @@ import unicodedata
 
 # Run of any Unicode whitespace -> single ASCII space.
 _WS_RE = re.compile(r"\s+")
-# Runs of 2+ dots / katakana middle dots -> canonical "..."
-# (transplant of reference ocr/manga_ocr.py:35, which collapses [・.]{2,}).
-_DOTS_RE = re.compile(r"[.・…]{2,}")
+# Runs of 2+ dots / katakana middle dots, rewritten to a same-length run of
+# ASCII dots (transplant of reference ocr/manga_ocr.py:35:
+# ``re.sub("[・.]{2,}", lambda x: (x.end() - x.start()) * ".", text)`` —
+# run length preserved; the only visible effect is ・ inside a run folding
+# to '.').  … is folded to "..." *first* (manga_ocr.py:34), so each
+# ellipsis contributes 3 dots to the run, exactly as in the reference.
+_DOTS_RE = re.compile(r"[.・]{2,}")
+
+
+def _dot_run(m: re.Match) -> str:
+    return "." * (m.end() - m.start())
 
 
 def normalize_text(raw: str) -> str:
@@ -32,22 +40,83 @@ def normalize_text(raw: str) -> str:
     Rules (applied in order, each deterministic):
       1. Unicode NFC (charset discipline; the reference's BGR<->RGB analogue).
       2. fold U+2026 HORIZONTAL ELLIPSIS to "..." (manga_ocr.py:34).
-      3. collapse runs of dots / U+30FB to "..." (manga_ocr.py:35).
-      4. collapse all whitespace runs to a single space and strip.
+      3. rewrite [・.]{2,} runs to same-length ASCII-dot runs (manga_ocr.py:35).
+      4. collapse all whitespace runs to a single space and strip (web-text
+         adaptation of manga_ocr.py:33's whitespace removal — documented
+         deviation: Japanese OCR drops spaces entirely, web text keeps one).
     """
     if not raw:
         return ""
-    # fast guards: NFC is identity on ASCII; the dot-collapse rules only
-    # fire when their trigger chars are present (same output, fewer regexes)
+    # fast guards: NFC is identity on ASCII; the dot-run rule only fires
+    # when a ・ is present (pure-dot runs map to themselves)
     if raw.isascii():
         text = raw
     else:
         text = unicodedata.normalize("NFC", raw)
         if "…" in text:
             text = text.replace("…", "...")
-    if ".." in text or "・" in text:
-        text = _DOTS_RE.sub("...", text)
+        if "・" in text:
+            text = _DOTS_RE.sub(_dot_run, text)
     text = _WS_RE.sub(" ", text).strip()
+    return text
+
+
+# --------------------------------------------------------------------------
+# Half->full width folding — the jaconv.h2z analogue (reference
+# ocr/manga_ocr.py:36: ``jaconv.h2z(text, ascii=True, digit=True)``),
+# implemented as explicit char maps so no dependency is needed.
+# Voiced/semi-voiced halfwidth kana pairs (base + U+FF9E/U+FF9F) merge into
+# the single precomposed fullwidth codepoint first, then remaining
+# singles/ASCII map via str.translate.
+# --------------------------------------------------------------------------
+
+_H2Z_HALF = (
+    "｡｢｣､･ｦｧｨｩｪｫｬｭｮｯｰｱｲｳｴｵｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾅﾆﾇﾈﾉﾊﾋﾌﾍﾎﾏﾐﾑﾒﾓﾔﾕﾖﾗﾘﾙﾚﾛﾜﾝﾞﾟ"
+)
+_H2Z_FULL = (
+    "。「」、・ヲァィゥェォャュョッーアイウエオカキクケコサシスセソタチツテト"
+    "ナニヌネノハヒフヘホマミムメモヤユヨラリルレロワン゛゜"
+)
+assert len(_H2Z_HALF) == len(_H2Z_FULL) == 0x9F - 0x61 + 1
+
+_H2Z_DAKUTEN = dict(
+    zip("ｶｷｸｹｺｻｼｽｾｿﾀﾁﾂﾃﾄﾊﾋﾌﾍﾎｳﾜｦ", "ガギグゲゴザジズゼゾダヂヅデドバビブベボヴヷヺ")
+)
+_H2Z_HANDAKUTEN = dict(zip("ﾊﾋﾌﾍﾎ", "パピプペポ"))
+_H2Z_PAIR_RE = re.compile("([ｶ-ﾄﾊ-ﾎｳﾜｦ])ﾞ|([ﾊ-ﾎ])ﾟ")
+
+_H2Z_TABLE = {ord(h): ord(f) for h, f in zip(_H2Z_HALF, _H2Z_FULL)}
+# ASCII U+0021..U+007E -> fullwidth forms U+FF01..U+FF5E; space -> U+3000
+# (the ascii=True/digit=True flags of the reference call).
+_H2Z_ASCII_TABLE = {c: c - 0x21 + 0xFF01 for c in range(0x21, 0x7F)}
+_H2Z_ASCII_TABLE[0x20] = 0x3000
+
+
+def _h2z_pair(m: re.Match) -> str:
+    if m.group(1) is not None:
+        return _H2Z_DAKUTEN[m.group(1)]
+    return _H2Z_HANDAKUTEN[m.group(2)]
+
+
+def h2z_text(text: str, *, kana: bool = True, ascii_: bool = True, digit: bool = True) -> str:
+    """Halfwidth -> fullwidth fold (jaconv.h2z analogue, manga_ocr.py:36).
+
+    Defaults mirror the reference call (kana + ascii + digit all folded;
+    ``digit`` is a subset of ``ascii_`` kept for signature parity).  Used by
+    the OCR post-process only — web block text keeps its halfwidth ASCII.
+    """
+    if not text:
+        return text
+    if kana and any("｡" <= ch <= "ﾟ" for ch in text):
+        text = _H2Z_PAIR_RE.sub(_h2z_pair, text)
+        text = text.translate(_H2Z_TABLE)
+    table = {}
+    if ascii_:
+        table.update(_H2Z_ASCII_TABLE)
+    elif digit:
+        table.update({c: c - 0x30 + 0xFF10 for c in range(0x30, 0x3A)})
+    if table:
+        text = text.translate(table)
     return text
 
 

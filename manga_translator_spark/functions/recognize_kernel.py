@@ -17,7 +17,16 @@ from __future__ import annotations
 
 import struct
 
-from manga_translator_spark.functions.normalize import normalize_text
+from manga_translator_spark.functions.normalize import h2z_text, normalize_text
+
+
+def post_process_ocr(text: str) -> str:
+    """OCR-output post-process — the full MangaOCR.post_process transplant
+    (reference ocr/manga_ocr.py:31-38): whitespace fold, ellipsis ->
+    "...", length-preserving dot-run rewrite, then half->full width folding
+    (jaconv.h2z(ascii=True, digit=True) analogue).  Width folding applies
+    to *recognized* text only; web block text keeps halfwidth ASCII."""
+    return h2z_text(normalize_text(text))
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -58,4 +67,4 @@ def recognize_batch(payloads: list[bytes | None]) -> list[str]:
     the exact contract of the reference OCR plugin (plugin.py:151-165),
     with post-processing (manga_ocr.py:31-38 analogue) applied.
     """
-    return [normalize_text(decode_png_text(p)) if p is not None else "" for p in payloads]
+    return [post_process_ocr(decode_png_text(p)) if p is not None else "" for p in payloads]

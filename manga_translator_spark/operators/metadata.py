@@ -21,8 +21,9 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 # mirrors normalize.decode_html's sniff, as a pure column expression so the
-# scan stays pruned and codegen'd (no Python)
-_CHARSET_PATTERN = "<meta[^>]+charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_\\-]+)"
+# scan stays pruned and codegen'd (no Python); (?i) matches the kernel
+# regex's re.IGNORECASE so '<META CHARSET=...>' sniffs identically here.
+_CHARSET_PATTERN = "(?i)<meta[^>]+charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_\\-]+)"
 
 
 def with_charset(pages: "DataFrame") -> "DataFrame":

@@ -64,14 +64,18 @@ def quality_features(docs: "DataFrame") -> "DataFrame":
     """Quality scoring: length/punctuation/digit/uppercase ratios.
 
     Ratios are double divisions by (length+1) — exact same expression in the
-    SQL twin, so values hash identically.
+    SQL twin, so values hash identically.  Emitted ratios are round(·, 6) on
+    BOTH sides (the repo-wide double-aggregate rounding invariant — the raw
+    doubles were bit-equal but tripped the driver's float canonicalization
+    in r01); the is_quality thresholds compare the *raw* ratios, identically
+    in the twin.
     """
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_raw"),
-        F.expr(f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0)").alias("punct_ratio"),
-        F.expr(f"({_count_expr('[0-9]')}) / (length(text) + 1.0)").alias("digit_ratio"),
-        F.expr(f"({_count_expr('[A-Z]')}) / (length(text) + 1.0)").alias("upper_ratio"),
+        F.round(F.expr(f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0)"), 6).alias("punct_ratio"),
+        F.round(F.expr(f"({_count_expr('[0-9]')}) / (length(text) + 1.0)"), 6).alias("digit_ratio"),
+        F.round(F.expr(f"({_count_expr('[A-Z]')}) / (length(text) + 1.0)"), 6).alias("upper_ratio"),
         F.expr(
             "CASE WHEN length(text) >= 100 AND "
             f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0) < 0.1 AND "

@@ -40,4 +40,4 @@ def test_oracle_coverage(spark):
     qs, oracles = set(mod.queries()), set(mod.oracle_sql())
     assert oracles <= qs
     rows_only = qs - oracles
-    assert rows_only == {"extract_pipeline"}  # HTML parse: not SQL-expressible
+    assert rows_only == set()  # every query has a DuckDB twin (r02)

@@ -29,9 +29,30 @@ def test_normalize_whitespace_collapse():
 
 
 def test_normalize_ellipsis_and_dots():
+    # run-length-preserving dot rule (reference manga_ocr.py:34-35:
+    # "…"->"..." first, then [・.]{2,} -> same-length ASCII-dot run)
     assert normalize_text("wait… what") == "wait... what"
-    assert normalize_text("so.....") == "so..."
-    assert normalize_text("a・・b") == "a...b"
+    assert normalize_text("so.....") == "so....."
+    assert normalize_text("a・・b") == "a..b"
+    assert normalize_text("mix.・・z") == "mix...z"
+    assert normalize_text("・alone") == "・alone"  # single ・ not in a run
+    assert normalize_text("x……y") == "x......y"  # each … is 3 dots
+
+
+def test_h2z_width_folding():
+    # jaconv.h2z(ascii=True, digit=True) analogue (manga_ocr.py:36) —
+    # applied in the OCR post-process only (post_process_ocr)
+    from manga_translator_spark.functions.normalize import h2z_text
+    from manga_translator_spark.functions.recognize_kernel import post_process_ocr
+
+    assert h2z_text("ｶﾞｷﾞ") == "ガギ"
+    assert h2z_text("ﾊﾟﾝ") == "パン"
+    assert h2z_text("ｳﾞ") == "ヴ"
+    assert h2z_text("ｱｲｳｴｵ｡｢｣ｰ") == "アイウエオ。「」ー"
+    assert h2z_text("abc 09") == "ａｂｃ　０９"
+    assert h2z_text("ﾟ") == "゜"  # bare (semi)voiced mark: no base to merge
+    assert h2z_text("kana only", ascii_=False, digit=False) == "kana only"
+    assert post_process_ocr("ﾃｽﾄ  ok…") == "テスト　ｏｋ．．．"
 
 
 def test_normalize_empty():
@@ -175,6 +196,18 @@ def test_fast_engine_equals_stdlib_engine():
         b"<style>p{}</style>text outside blocks",
         b"<img src=x><img><br><hr>",
         b"1 < 2 but > 0",
+        # rawtext close-tag forms: stdlib ends CDATA on r'</\s*tag\s*>'
+        # (whitespace allowed around the name, '>' required) — the fast
+        # engine must match exactly (ADVICE r01)
+        b"<body><script>x</ script><p>real paragraph content here okay</p></body>",
+        b"<body><script>a</scriptx>b</script><p>tail paragraph content here</p></body>",
+        b"<body><script>a</script x>b</script><p>tail two content here</p></body>",
+        b"<body><style>.x{}</ style ><p>styled content paragraph here</p></body>",
+        b"<body><script>never closed <p>ghost</p>",
+        b"<body><p>one</ p><p>two paragraphs of content here</p></body>",
+        b"<body><p>a</p@><p>second paragraph with plenty of content</p></body>",
+        b"<body><p>a</ p ><p>second paragraph with plenty of content</p></body>",
+        b"<body><p>a</></p><p>second paragraph with plenty of content</p></body>",
     ]
     for s in snippets:
         assert extract_blocks(s, engine="stdlib") == extract_blocks(s, engine="fast"), s
@@ -184,7 +217,10 @@ def test_fast_engine_equals_stdlib_engine():
 
 
 def test_recognize_roundtrip():
-    assert recognize_batch([make_png("seed text 42")]) == ["seed text 42"]
+    # recognize_batch applies the full OCR post-process (manga_ocr.py:31-38),
+    # so ASCII payload text comes back width-folded (h2z ascii=True)
+    assert recognize_batch([make_png("seed text 42")]) == ["ｓｅｅｄ　ｔｅｘｔ　４２"]
+    assert decode_png_text(make_png("seed text 42")) == "seed text 42"
     assert recognize_batch([None, b"not a png", b""]) == ["", "", ""]
 
 
