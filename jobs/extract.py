@@ -45,10 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cleaner", default="strip")
     p.add_argument("--assembler", default="arrays")
     p.add_argument("--enricher", default="pipe")
+    p.add_argument("--repair", default="none", help="gray-zone repair model (none|model)")
     p.add_argument("--no-recognize", action="store_true")
     p.add_argument(
         "--until",
-        choices=["detect", "classify", "clean", "assemble", "recognize"],
+        choices=["detect", "classify", "repair", "clean", "assemble", "recognize"],
         help="stop after this stage and write the intermediate table "
         "(prefix-composability: the reference UI's /clean endpoint analogue)",
     )
@@ -64,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             cleaner=args.cleaner,
             assembler=args.assembler,
             enricher=args.enricher,
+            repair=args.repair,
             recognize=not args.no_recognize,
         )
     )

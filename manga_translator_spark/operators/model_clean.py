@@ -40,18 +40,40 @@ _OUT = "url string, block_idx int, keep boolean, text string"
 
 _MODEL = None
 
+# separator/chrome characters that furniture runs are made of
+_FURNITURE_CHARS = frozenset(" |·•-–—»«><:/")
+
+
+def usable_span(text: str) -> tuple[int, int]:
+    """Largest usable interior span of a block's text — the 1-D transplant
+    of the reference's largest-interior-rectangle (utils.py:354-379: given
+    a mask, find the maximal axis-aligned rectangle of usable cells; here
+    the mask is per-character 'is furniture', and the text being one line
+    makes the maximal interior run exactly the span between the furniture
+    margins).  Returns half-open (start, end); (0, 0) if all furniture.
+    """
+    n = len(text)
+    start = 0
+    while start < n and text[start] in _FURNITURE_CHARS:
+        start += 1
+    end = n
+    while end > start and text[end - 1] in _FURNITURE_CHARS:
+        end -= 1
+    return start, end
+
 
 def _model_call(texts: list[str], scores: list[float]) -> list[tuple[bool, str]]:
-    """STUB model: keep gray-zone blocks that end in sentence punctuation
-    and exceed 60 chars; trims trailing furniture separators.  Replace body
-    with an onnxruntime session.run over tokenized batches for a real
-    model (loaded once per worker — reference lama.py:51)."""
+    """STUB model: slice each patch to its usable interior span, then keep
+    gray-zone blocks that end in sentence punctuation and exceed 60 chars.
+    Replace body with an onnxruntime session.run over tokenized batches for
+    a real model (loaded once per worker — reference lama.py:51)."""
     global _MODEL
     if _MODEL is None:
         _MODEL = True  # stand-in for session load
     out = []
     for t, s in zip(texts, scores):
-        t2 = t.rstrip(" |·-•")
+        lo, hi = usable_span(t)
+        t2 = t[lo:hi]
         out.append((len(t2) >= 60 and t2.endswith((".", "!", "?")), t2))
     return out
 
@@ -104,3 +126,52 @@ def model_clean(classified: "DataFrame") -> "DataFrame":
             )
         )
     )
+
+
+def apply_repairs(classified: "DataFrame", verdicts: "DataFrame") -> "DataFrame":
+    """Fold the model's verdicts back into the block array.
+
+    A gray-zone block whose verdict is ``keep`` is promoted to MAIN with the
+    model's (possibly trimmed) text; everything else is untouched.  This is
+    the paste-back step of the patch cleaners (reference lama.py:160-168
+    writes repaired patches back by offset; our offset is ``block_idx``).
+
+    Pages without verdicts keep their blocks verbatim (left join + coalesce
+    to an empty array — the pass-through contract).
+    """
+    joined = classified.join(verdicts, "url", "left").withColumn(
+        "rep",
+        F.expr(
+            "coalesce(repaired, CAST(array() AS "
+            "ARRAY<STRUCT<block_idx: INT, keep: BOOLEAN, text: STRING>>))"
+        ),
+    )
+    # let-bind the per-block verdict lookup via the single-element transform
+    # idiom (HOF lambdas are interpreted; see functions/texthash.py) so the
+    # filter() runs once per block, not once per referenced field.
+    patched = """transform(blocks, b -> element_at(transform(
+        array(try_element_at(filter(rep, r -> r.block_idx = b.block_idx AND r.keep), 1)),
+        rv -> CASE WHEN rv IS NULL THEN b ELSE named_struct(
+          'block_idx', b.block_idx, 'tag', b.tag, 'depth', b.depth,
+          'text', rv.text, 'n_chars', length(rv.text),
+          'n_links', b.n_links, 'n_link_chars', b.n_link_chars,
+          'hint', b.hint, 'img_payload', b.img_payload,
+          'cls', 0, 'score', b.score) END), 1))"""
+    return joined.withColumn("blocks", F.expr(patched)).drop("repaired", "rep")
+
+
+def repair_model(classified: "DataFrame") -> "DataFrame":
+    """Config-selectable repair plugin: verdicts + paste-back in one step."""
+    return apply_repairs(classified, model_clean(classified))
+
+
+def repair_none(classified: "DataFrame") -> "DataFrame":
+    return classified
+
+
+# name -> strategy; the cleaner-registry analogue (reference cleaning/
+# get.py:6-11 exposes LaMa/DeepFillV2 as named, config-selected plugins).
+REPAIRERS = {
+    "none": repair_none,
+    "model": repair_model,
+}

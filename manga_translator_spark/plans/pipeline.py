@@ -32,6 +32,7 @@ from manga_translator_spark.operators.classify import classify_blocks
 from manga_translator_spark.operators.clean import CLEANERS
 from manga_translator_spark.operators.detect import detect_blocks
 from manga_translator_spark.operators.enrich import ENRICHERS
+from manga_translator_spark.operators.model_clean import REPAIRERS
 from manga_translator_spark.operators.recognize import recognize_embedded, with_recognized
 
 if TYPE_CHECKING:
@@ -39,7 +40,7 @@ if TYPE_CHECKING:
 
 ASSEMBLERS = {"arrays": assemble_arrays, "exploded": assemble_exploded}
 
-STAGE_ORDER = ("detect", "classify", "clean", "assemble", "recognize", "enrich")
+STAGE_ORDER = ("detect", "classify", "repair", "clean", "assemble", "recognize", "enrich")
 
 
 @dataclass
@@ -54,6 +55,10 @@ class PipelineConfig:
     cleaner: str = "strip"
     assembler: str = "arrays"
     enricher: str = "pipe"
+    # model-based gray-zone repair between classify and clean (the LaMa/
+    # DeepFillV2 cleaner slot, reference cleaning/get.py:6-11); "none" keeps
+    # the pipeline byte-identical to the oracle.
+    repair: str = "none"
     recognize: bool = True
     n_buckets: int | None = None  # optional url-hash repartition before UDFs
     # physical mode: "fused" (default; one Python pass per page, compact
@@ -78,19 +83,67 @@ class PipelineConfig:
             return cls.from_dict(yaml.safe_load(f) or {})
 
 
+# Per-plugin argument schemas — the GET /info payload's argument list
+# (reference ui/main.py:223-305 serializes every plugin's PluginArgument
+# name/type/default via core/plugin.py:29-126).  Our plugins are pure
+# DataFrame strategies, so arguments are the factory/threshold knobs.
+PLUGIN_ARGS: dict[str, dict[str, dict[str, dict]]] = {
+    "cleaner": {
+        "strip": {},
+        "mask": {},
+        "noop": {},
+    },
+    "assembler": {
+        "arrays": {},
+        "exploded": {},
+    },
+    "enricher": {
+        "pipe": {},
+        "debug": {"constant": {"type": "str", "default": "meow"}},
+        "batched": {"batch_rows": {"type": "int", "default": 512}},
+    },
+    "repairer": {
+        "none": {},
+        "model": {"gray_lo": {"type": "float", "default": 0.5}},
+    },
+}
+
+
 def describe() -> dict:
-    """Machine-readable registry of stage slots and their plugins — the
-    GET /info analogue (reference ui/main.py:223-305 enumerates every
-    plugin and its argument schema for the UI)."""
+    """Machine-readable registry of stage slots, their plugins AND each
+    plugin's argument schema — the GET /info analogue (reference
+    ui/main.py:223-305 enumerates every plugin with its argument schema
+    for the UI; core/plugin.py:29-126 defines the argument model)."""
+    fields = PipelineConfig.__dataclass_fields__
+    defaults = PipelineConfig()
     return {
         "stages": list(STAGE_ORDER),
         "slots": {
             "cleaner": sorted(CLEANERS),
             "assembler": sorted(ASSEMBLERS),
             "enricher": sorted(ENRICHERS),
+            "repairer": sorted(REPAIRERS),
+        },
+        "plugins": {
+            slot: {
+                name: {"args": PLUGIN_ARGS.get(slot, {}).get(name, {})}
+                for name in sorted(registry)
+            }
+            for slot, registry in (
+                ("cleaner", CLEANERS),
+                ("assembler", ASSEMBLERS),
+                ("enricher", ENRICHERS),
+                ("repairer", REPAIRERS),
+            )
         },
         "modes": ["fused", "staged"],
-        "config_fields": sorted(PipelineConfig.__dataclass_fields__),
+        "config_fields": {
+            name: {
+                "type": getattr(f.type, "__name__", str(f.type)),
+                "default": getattr(defaults, name),
+            }
+            for name, f in fields.items()
+        },
     }
 
 
@@ -113,12 +166,15 @@ def extract(
         raise KeyError(f"unknown assembler {cfg.assembler!r}; have {sorted(ASSEMBLERS)}")
     if cfg.enricher not in ENRICHERS:
         raise KeyError(f"unknown enricher {cfg.enricher!r}; have {sorted(ENRICHERS)}")
+    if cfg.repair not in REPAIRERS:
+        raise KeyError(f"unknown repairer {cfg.repair!r}; have {sorted(REPAIRERS)}")
 
     needs_staged = (
         until is not None
         or cfg.mode == "staged"
         or cfg.cleaner != "strip"
         or cfg.assembler != "arrays"
+        or cfg.repair != "none"
         or not cfg.recognize
     )
     if not needs_staged:
@@ -144,6 +200,9 @@ def extract(
         return df
     df = classify_blocks(df)
     if until == "classify":
+        return df
+    df = REPAIRERS[cfg.repair](df)
+    if until == "repair":
         return df
     cleaned = CLEANERS[cfg.cleaner](df)
     if until == "clean":

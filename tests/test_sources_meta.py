@@ -86,5 +86,17 @@ def test_describe_registry():
     info = describe()
     assert info["slots"]["cleaner"] == ["mask", "noop", "strip"]
     assert info["slots"]["assembler"] == ["arrays", "exploded"]
+    assert info["slots"]["repairer"] == ["model", "none"]
     assert "fused" in info["modes"]
-    assert "detect" in info["stages"]
+    assert "detect" in info["stages"] and "repair" in info["stages"]
+    # every registry entry carries an argument schema (GET /info analogue,
+    # reference ui/main.py:223-305), and config_fields expose type+default
+    for slot, names in info["slots"].items():
+        for name in names:
+            assert "args" in info["plugins"][slot][name], (slot, name)
+    for arg in info["plugins"]["enricher"]["debug"]["args"].values():
+        assert {"type", "default"} <= set(arg)
+    assert info["config_fields"]["repair"]["default"] == "none"
+    import json
+
+    json.dumps(info)  # the whole payload is JSON-serializable (served as-is)
