@@ -344,6 +344,10 @@ def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _q_ann_in_bucket(spark, sf):
+    return similarity.ann_topk_in_bucket(_t(spark, sf, "embeddings"))
+
+
 def _q_rollup_geo(spark, sf):
     # hierarchical rollup region -> nation (grouping-sets family, with cube
     # covered by returns_cube)
@@ -425,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
+        "ann_in_bucket_topk": _q_ann_in_bucket,
         "embedding_near_dup": _q_embedding_near_dup,
     }
 
@@ -462,14 +467,46 @@ def _dot_duck(a: str, b: str, dim: int = similarity.EMB_DIM) -> str:
     )
 
 
-def _lsh_sig_duck(emb: str) -> str:
+def _lsh_sig_duck(emb: str, planes=None) -> str:
     terms = []
-    for j, plane in enumerate(similarity.PLANES):
+    for j, plane in enumerate(planes if planes is not None else similarity.PLANES):
         arr = "[" + ", ".join(f"{v}" for v in plane) + "]"
         terms.append(
             f"CASE WHEN {_dot_duck(arr, emb)} > 0 THEN (1::BIGINT << {j}) ELSE 0::BIGINT END"
         )
     return " + ".join(terms)
+
+
+def _emb_bands_cte() -> str:
+    """Banded, capped LSH candidate pairs over embeddings — the twin of
+    similarity.lsh_band_buckets + lsh_candidate_pairs (same planes, same
+    sorted-id MAX_EMB_BUCKET cap, pairs if ANY band bucket matches)."""
+    ppb = similarity.PLANES_PER_BAND
+    band_cols = ", ".join(
+        f"{_lsh_sig_duck('embedding', similarity.PLANES[b * ppb:(b + 1) * ppb])} AS sb{b}"
+        for b in range(similarity.LSH_EMB_BANDS)
+    )
+    bucket_case = (
+        "CASE band_idx "
+        + " ".join(f"WHEN {b} THEN sb{b}" for b in range(similarity.LSH_EMB_BANDS))
+        + " END"
+    )
+    return f"""
+WITH bsig AS (SELECT vec_id, {band_cols} FROM embeddings),
+ebands AS (
+  SELECT vec_id, band_idx, {bucket_case} AS bucket
+  FROM bsig, (SELECT unnest(generate_series(0, {similarity.LSH_EMB_BANDS - 1})) AS band_idx) t
+),
+ebuckets AS (
+  SELECT band_idx, bucket, (list_sort(list(vec_id)))[1:{similarity.MAX_EMB_BUCKET}] AS ids
+  FROM ebands GROUP BY band_idx, bucket
+),
+epairs AS (
+  SELECT DISTINCT a AS vec_a, b AS vec_b
+  FROM (SELECT a, unnest(list_filter(ids, x -> x > a)) AS b
+        FROM (SELECT unnest(ids) AS a, ids FROM ebuckets WHERE len(ids) > 1))
+)
+"""
 
 
 from manga_translator_spark.functions.texthash import MINHASH_A, MINHASH_B, MINHASH_P
@@ -789,14 +826,37 @@ def oracle_sql() -> dict[str, str]:
         f"(sqrt({_dot_duck('a.embedding', 'a.embedding')}) * "
         f"sqrt({_dot_duck('b.embedding', 'b.embedding')}))"
     )
-    sql["embedding_near_dup"] = f"""
-      WITH sigs AS (SELECT vec_id, {_lsh_sig_duck('embedding')} AS bucket FROM embeddings)
+    sql["embedding_near_dup"] = _emb_bands_cte() + f"""
       SELECT vec_a, vec_b, cos_sim FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos_ab}, 4) AS cos_sim
-        FROM sigs sa JOIN sigs sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
-        JOIN embeddings a ON sa.vec_id = a.vec_id
-        JOIN embeddings b ON sb.vec_id = b.vec_id
+        SELECT vec_a, vec_b, round({cos_ab}, 4) AS cos_sim
+        FROM epairs
+        JOIN embeddings a ON vec_a = a.vec_id
+        JOIN embeddings b ON vec_b = b.vec_id
       ) WHERE cos_sim >= 0.3
+    """
+
+    cos_qn = (
+        f"{_dot_duck('q.embedding', 'n.embedding')} / "
+        f"(sqrt({_dot_duck('q.embedding', 'q.embedding')}) * "
+        f"sqrt({_dot_duck('n.embedding', 'n.embedding')}))"
+    )
+    sql["ann_in_bucket_topk"] = _emb_bands_cte() + f""",
+      members AS (SELECT band_idx, bucket, unnest(ids) AS vec_id FROM ebuckets),
+      equeries AS (SELECT vec_id AS query_id, band_idx, bucket FROM ebands WHERE vec_id % 97 = 0),
+      ecand AS (
+        SELECT DISTINCT query_id, m.vec_id AS neighbor_id
+        FROM equeries eq JOIN members m USING (band_idx, bucket)
+        WHERE m.vec_id != eq.query_id
+      )
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM (SELECT query_id, neighbor_id, round({cos_qn}, 4) AS cos_sim
+              FROM ecand
+              JOIN embeddings q ON query_id = q.vec_id
+              JOIN embeddings n ON neighbor_id = n.vec_id)
+      ) WHERE rank <= 5
     """
 
     return sql

@@ -7,14 +7,24 @@ Two tiers, as a 100 TB pipeline needs both:
   nested-loop with the per-pair dot product computed by codegen'd
   higher-order functions (``zip_with`` + ``aggregate`` sequential fold —
   the same left-to-right order DuckDB's list functions use, keeping the
-  oracle comparison on rounded values stable).
+  oracle comparison on rounded values stable).  The ``row_number() <= k``
+  filter triggers Spark's rank-limit pushdown: a *partial*
+  ``WindowGroupLimit`` runs before the exchange, so each partition ships
+  only its local top-k per query — the shuffle carries <= k * n_partitions
+  rows per query, never the full pair set, and no corpus-sized window
+  partition exists (asserted on the physical plan in tests/test_plans.py).
 
 * **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
   (seeded, generated once in Python and inlined as literals into BOTH the
-  Spark plan and the DuckDB oracle SQL) put near vectors into the same
-  bucket; candidate generation is then a bucket-join exactly like the
-  MinHash dedup path — no cross join anywhere.  An IVF variant would swap
-  the hyperplane bucketer for k-means centroids; same physical shape.
+  Spark plan and the DuckDB oracle SQL).  Signatures are **banded** exactly
+  like the MinHash dedup path (N_PLANES bits split into LSH_EMB_BANDS
+  bands): near vectors collide in *some* band's bucket, which multiplies
+  recall without fattening any single bucket.  Candidate generation is a
+  bucket-join with a deterministic per-bucket cap (``MAX_EMB_BUCKET``,
+  sorted vec_ids — the spam-cluster guard the dedup path already had), so
+  the within-bucket pair fan-out is O(cap^2) per bucket, never O(n^2/256).
+  An IVF variant would swap the hyperplane bucketer for k-means centroids;
+  same physical shape.
 """
 
 from __future__ import annotations
@@ -29,7 +39,10 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 EMB_DIM = 64
-N_PLANES = 8
+N_PLANES = 16          # total sign bits (2 bands x 8 bits)
+LSH_EMB_BANDS = 2      # bands; vectors pair if ANY band bucket matches
+PLANES_PER_BAND = N_PLANES // LSH_EMB_BANDS
+MAX_EMB_BUCKET = 50    # per-bucket candidate cap (sorted ids, deterministic)
 PLANE_SEED = 7
 
 # Deterministic hyperplanes, shared verbatim by Spark and the SQL oracle.
@@ -48,6 +61,12 @@ def _dot_expr(a: str, b: str) -> str:
 
 def _norm_expr(a: str) -> str:
     return f"sqrt({_dot_expr(a, a)})"
+
+
+def _cos_expr(a: str, b: str) -> "F.Column":
+    return F.round(
+        F.expr(f"{_dot_expr(a, b)} / ({_norm_expr(a)} * {_norm_expr(b)})"), 4
+    )
 
 
 def cosine_topk(
@@ -72,15 +91,12 @@ def cosine_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                F.expr(
-                    f"{_dot_expr('q_emb', 'embedding')} / "
-                    f"({_norm_expr('q_emb')} * {_norm_expr('embedding')})"
-                ),
-                4,
-            ).alias("cos_sim"),
+            _cos_expr("q_emb", "embedding").alias("cos_sim"),
         )
     )
+    # rank <= k over the pair set: Spark's rank-limit pushdown inserts a
+    # partial WindowGroupLimit BEFORE the exchange, so the shuffle carries
+    # only each partition's local top-k per query (plan-asserted in tests)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -89,15 +105,11 @@ def cosine_topk(
     )
 
 
-def _planes_sql_array(fmt_row) -> str:
-    return ", ".join(fmt_row(p) for p in PLANES)
-
-
-def lsh_signature_expr(emb: str) -> str:
-    """Spark SQL: sign-bit signature of ``emb`` against PLANES (bit j set if
-    dot(plane_j, emb) > 0)."""
+def lsh_signature_expr(emb: str, planes: list[list[int]] | None = None) -> str:
+    """Spark SQL: sign-bit signature of ``emb`` against the given planes
+    (bit j set if dot(plane_j, emb) > 0)."""
     terms = []
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(planes if planes is not None else PLANES):
         arr = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
         terms.append(
             f"IF({_dot_expr(arr, emb)} > 0D, shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
@@ -106,9 +118,36 @@ def lsh_signature_expr(emb: str) -> str:
 
 
 def lsh_buckets(embeddings: "DataFrame") -> "DataFrame":
-    """(vec_id, bucket) — the ANN partitioning primitive."""
+    """(vec_id, bucket) over ALL N_PLANES bits — the occupancy/diagnostic
+    partitioning (2^N_PLANES bucket space)."""
     return embeddings.select(
         "vec_id", F.expr(lsh_signature_expr("embedding")).alias("bucket")
+    )
+
+
+def lsh_band_buckets(embeddings: "DataFrame") -> "DataFrame":
+    """(vec_id, band_idx, bucket): one PLANES_PER_BAND-bit bucket per band —
+    the candidate-generation partitioning (multi-probe recall)."""
+    band_sigs = [
+        F.expr(
+            lsh_signature_expr(
+                "embedding", PLANES[b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND]
+            )
+        ).alias(f"b{b}")
+        for b in range(LSH_EMB_BANDS)
+    ]
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("bucket"))
+                for b in range(LSH_EMB_BANDS)
+            ]
+        )
+    )
+    return (
+        embeddings.select("vec_id", *band_sigs)
+        .select("vec_id", stacked.alias("bb"))
+        .select("vec_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
     )
 
 
@@ -121,54 +160,75 @@ def lsh_bucket_stats(embeddings: "DataFrame") -> "DataFrame":
     )
 
 
-def ann_topk_in_bucket(embeddings: "DataFrame", k: int = 5, query_mod: int = 97) -> "DataFrame":
-    """ANN: neighbors restricted to the query's LSH bucket (bucket-join),
-    then exact cosine within the bucket.  Recall < 1 by design; the scale
-    win is that the join key is the bucket, not a cross join."""
-    with_b = lsh_buckets(embeddings).join(embeddings, "vec_id")
-    queries = with_b.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket"),
-        F.col("embedding").alias("q_emb"),
+def lsh_candidate_pairs(embeddings: "DataFrame") -> "DataFrame":
+    """Distinct candidate pairs (a < b) sharing any band bucket, with the
+    per-bucket cap applied to sorted ids (deterministic; the dedup path's
+    MAX_BUCKET guard, operators/dedup.py:118)."""
+    bands = lsh_band_buckets(embeddings)
+    buckets = (
+        bands.groupBy("band_idx", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, MAX_EMB_BUCKET).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    cands = queries.join(with_b, "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    pairs = cands.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            F.expr(
-                f"{_dot_expr('q_emb', 'embedding')} / "
-                f"({_norm_expr('q_emb')} * {_norm_expr('embedding')})"
-            ),
-            4,
-        ).alias("cos_sim"),
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, a -> "
+                    "transform(filter(ids, b -> b > a), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
+
+
+def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs (a < b) over banded, capped LSH
+    candidates — exact cosine is computed only for the bounded candidate
+    set, never for an uncapped within-bucket self-join."""
+    pairs = lsh_candidate_pairs(embeddings)
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", _cos_expr("emb_a", "emb_b").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_topk_in_bucket(embeddings: "DataFrame", k: int = 5, query_mod: int = 97) -> "DataFrame":
+    """ANN: neighbors restricted to the query's (banded, capped) LSH
+    buckets, then exact cosine over the bounded candidate set.  Recall < 1
+    by design; the scale win is that the join key is the band bucket and
+    every bucket's contribution is capped."""
+    bands = lsh_band_buckets(embeddings)
+    capped = (
+        bands.groupBy("band_idx", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, MAX_EMB_BUCKET).alias("ids"))
+    )
+    members = capped.select("band_idx", "bucket", F.explode("ids").alias("vec_id"))
+    queries = bands.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "bucket"
+    )
+    cand_ids = (
+        queries.join(members, ["band_idx", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_emb = embeddings.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    n_emb = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    pairs = (
+        cand_ids.join(q_emb, "query_id")
+        .join(n_emb, "neighbor_id")
+        .select("query_id", "neighbor_id", _cos_expr("q_emb", "n_emb").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
-
-
-def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "DataFrame":
-    """Embedding-cosine near-duplicate pairs within LSH buckets (a < b)."""
-    with_b = lsh_buckets(embeddings).join(embeddings, "vec_id")
-    a = with_b.select(F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = with_b.select(F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                F.expr(
-                    f"{_dot_expr('emb_a', 'emb_b')} / "
-                    f"({_norm_expr('emb_a')} * {_norm_expr('emb_b')})"
-                ),
-                4,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
     )

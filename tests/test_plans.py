@@ -36,3 +36,43 @@ def test_staged_plan_shuffles_only_for_recognition(pages_df):
     assert "Exchange" not in plan_norec  # arrays assembler: zero shuffle
     plan_rec = _plan(extract(pages_df, PipelineConfig(mode="staged")))
     assert "Exchange" in plan_rec  # the small recognized group-back only
+
+
+def test_cosine_topk_shuffle_is_rank_limited(spark):
+    """The exact-ANN window must not shuffle the full pair set: Spark's
+    rank-limit pushdown has to insert a partial WindowGroupLimit BEFORE the
+    exchange so each partition ships only its local top-k per query."""
+    from manga_translator_spark.operators.similarity import cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = cosine_topk(df)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exchange_at = min(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    partial_at = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l]
+    assert partial_at and max(partial_at) > exchange_at, plan  # partial is BELOW (= before) it
+    # and the pair generation itself is a broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_lsh_candidates_are_capped(spark):
+    """Bounded pair fan-out on a pathologically skewed embedding fixture:
+    every vector identical => all land in one bucket per band; the
+    per-bucket cap must bound candidate pairs at C(cap, 2), not C(n, 2)."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.similarity import (
+        LSH_EMB_BANDS,
+        MAX_EMB_BUCKET,
+        lsh_candidate_pairs,
+    )
+
+    n = 4 * MAX_EMB_BUCKET
+    rows = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [[1.0] * 64 for _ in range(n)]}
+    )
+    df = spark.createDataFrame(rows)
+    pairs = lsh_candidate_pairs(df).collect()
+    cap_pairs = MAX_EMB_BUCKET * (MAX_EMB_BUCKET - 1) // 2
+    assert 0 < len(pairs) <= cap_pairs  # bands dedup to the same capped set
+    # deterministic victims: the cap keeps the lowest vec_ids
+    assert max(max(p["vec_a"], p["vec_b"]) for p in pairs) < MAX_EMB_BUCKET
