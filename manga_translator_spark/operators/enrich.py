@@ -44,54 +44,71 @@ def make_enrich_debug(constant: str = "meow") -> Callable[["DataFrame"], "DataFr
     return enrich
 
 
-def enrich_batched(df: "DataFrame") -> "DataFrame":
-    """The external-model batching pattern (OpenAI translator analogue).
+# Separator/escape pair for the join-call-split round trip.  The reference
+# splits the LLM response on a bare '<s>' and corrupts any text containing
+# it (openai.py:71-73); we escape instead: ESC -> ESC+'E', SEP -> ESC+'S'
+# before joining, inverted after splitting — lossless for ALL inputs
+# (probe-tested in tests/test_pipeline.py).
+_SEP, _ESC = "␞", "␛"
+
+
+def _batched_model_call(joined: str) -> str:
+    """ONE external call per batch — the drop-in point for a real LLM/API
+    client (reference translation/openai.py:59-66 sends the <s>-joined
+    batch as a single prompt).  Identity keeps the engine deterministic
+    and offline; the test asserts output == input, which proves the
+    round-trip bookkeeping."""
+    return joined
+
+
+def make_enrich_batched(
+    batch_rows: int = 512,
+    model_call: Callable[[str], str] | None = None,
+) -> Callable[["DataFrame"], "DataFrame"]:
+    """The external-model batching pattern (OpenAI translator analogue),
+    bounded by construction.
 
     The reference joins a batch of strings with ``<s>``, makes ONE model
-    call, and splits the response back (translation/openai.py:59-73).
-    Relationally that is: group -> ``concat_ws`` -> one call per group ->
-    ``split`` -> posexplode, re-keyed by position within the group.  The
-    "model" here is identity (no network), so output equals input — the
-    test asserts exactly that, which proves the round-trip bookkeeping.
+    call, and splits the response back (translation/openai.py:59-73).  The
+    batch unit here is a slice of an Arrow chunk (<= ``batch_rows`` rows),
+    processed inside ``mapInPandas`` — zero shuffle, zero driver state, and
+    no group can ever exceed ``batch_rows`` documents regardless of corpus
+    size (the r01 version collect_list'ed corpus/64 docs into single rows —
+    an executor-OOM at 100x).  Physical shape == operators/recognize.py.
     """
-    from pyspark.sql import functions as F
+    call = model_call or _batched_model_call
 
-    # Separator collision handling: the reference splits the LLM response on
-    # a bare '<s>' and corrupts any text containing it (openai.py:71-73).
-    # We escape instead: ESC -> ESC+'E', SEP -> ESC+'S' before joining, and
-    # invert after splitting — lossless for ALL inputs (probe-tested).
-    sep, esc = "␞", "␛"
-    enc = (
-        f"replace(replace(x.extracted_text, '{esc}', '{esc}E'), '{sep}', '{esc}S')"
-    )
-    grouped = (
-        df.withColumn("_grp", F.pmod(F.xxhash64("url"), F.lit(64)))
-        .groupBy("_grp")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("url", "extracted_text"))).alias("batch")
-        )
-        .withColumn("joined", F.expr(f"array_join(transform(batch, x -> {enc}), '{sep}')"))
-        # one external call per group would happen here (mapInPandas);
-        # identity model keeps the engine deterministic and offline
-        .withColumn("response", F.col("joined"))
-        .withColumn("parts", F.split("response", sep, -1))
-    )
-    exploded = grouped.select(
-        F.posexplode("batch").alias("pos", "item"), F.col("parts")
-    ).select(
-        F.col("item.url").alias("url"),
-        F.expr(
-            f"replace(replace(element_at(parts, pos + 1), '{esc}S', '{sep}'), "
-            f"'{esc}E', '{esc}')"
-        ).alias("enriched_text"),
-    )
-    return df.join(exploded, "url", "left").withColumn(
-        "extracted_text", F.coalesce("enriched_text", "extracted_text")
-    ).drop("enriched_text")
+    def enrich(df: "DataFrame") -> "DataFrame":
+        schema = df.schema
+
+        def run(batches):
+            for pdf in batches:
+                for lo in range(0, len(pdf), batch_rows):
+                    chunk = pdf.iloc[lo : lo + batch_rows]
+                    if not len(chunk):
+                        continue
+                    texts = list(chunk["extracted_text"])
+                    enc = [
+                        t.replace(_ESC, _ESC + "E").replace(_SEP, _ESC + "S")
+                        for t in texts
+                    ]
+                    parts = call(_SEP.join(enc)).split(_SEP)
+                    # positional alignment is the contract (openai.py:67-73)
+                    assert len(parts) == len(texts), "batch round-trip misaligned"
+                    out = chunk.copy()
+                    out["extracted_text"] = [
+                        p.replace(_ESC + "S", _SEP).replace(_ESC + "E", _ESC)
+                        for p in parts
+                    ]
+                    yield out
+
+        return df.mapInPandas(run, schema=schema)
+
+    return enrich
 
 
 ENRICHERS: dict[str, Callable[["DataFrame"], "DataFrame"]] = {
     "pipe": enrich_pipe,
     "debug": make_enrich_debug(),
-    "batched": enrich_batched,
+    "batched": make_enrich_batched(),
 }

@@ -49,6 +49,24 @@ def create_stage_metrics(spark) -> dict:
     return {name: sc.accumulator(0) for name in ("parse_ms", "recognize_ms", "assemble_ms")}
 
 
+from pyspark.accumulators import AccumulatorParam
+
+
+class DictSumParam(AccumulatorParam):
+    """AccumulatorParam summing per-key counts — used for per-bucket
+    rows_in counting inside the fused pass (metrics-grade: task retries may
+    double-count, like every Spark accumulator; lineage uses it for skew
+    visibility, correctness comes from the written data)."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
 def extract_fused(pages: "DataFrame", metrics: dict | None = None) -> "DataFrame":
     """(url, html, ...) -> EXTRACTED_SCHEMA rows, one per input row.
 
@@ -58,9 +76,19 @@ def extract_fused(pages: "DataFrame", metrics: dict | None = None) -> "DataFrame
     """
     import time
 
+    # when the caller pre-bucketed the pages (lineage/resume path), the
+    # bucket column rides through the UDF: rows_in is counted executor-side
+    # into the dict accumulator (no extra input-scan job), and the output
+    # already carries the write-partitioning column (no url re-join).
+    carry_bucket = "bucket" in pages.columns and metrics is not None and "rows_in_by_bucket" in metrics
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls = list(pdf["url"])
+            if carry_bucket:
+                metrics["rows_in_by_bucket"].add(
+                    {int(k): int(v) for k, v in pdf["bucket"].value_counts().items()}
+                )
             t0 = time.perf_counter()
             page_blocks = [extract_blocks(h) for h in pdf["html"]]
             t1 = time.perf_counter()
@@ -95,14 +123,22 @@ def extract_fused(pages: "DataFrame", metrics: dict | None = None) -> "DataFrame
                 metrics["parse_ms"].add(int((t1 - t0) * 1000))
                 metrics["recognize_ms"].add(int((t2 - t1) * 1000))
                 metrics["assemble_ms"].add(int((t3 - t2) * 1000))
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "extracted_text": out_text,
-                    "spans": out_spans,
-                    "n_blocks": out_n,
-                    "recognized": out_rec,
-                }
-            )
+            cols = {
+                "url": urls,
+                "extracted_text": out_text,
+                "spans": out_spans,
+                "n_blocks": out_n,
+                "recognized": out_rec,
+            }
+            if carry_bucket:
+                cols["bucket"] = pdf["bucket"]
+            yield pd.DataFrame(cols)
 
+    if carry_bucket:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            EXTRACTED_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), False)]
+        )
+        return pages.select("url", "html", "bucket").mapInPandas(run, schema=schema)
     return pages.select("url", "html").mapInPandas(run, schema=EXTRACTED_SCHEMA)

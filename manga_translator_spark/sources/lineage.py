@@ -27,7 +27,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
 
-from manga_translator_spark.operators.fused import create_stage_metrics
+from manga_translator_spark.operators.fused import DictSumParam, create_stage_metrics
 from manga_translator_spark.plans.pipeline import PipelineConfig, extract
 from manga_translator_spark.schema import LINEAGE_SCHEMA
 from manga_translator_spark.sources.pages import with_bucket
@@ -86,13 +86,16 @@ def run_extraction(
         t0 = time.monotonic()
         part = bucketed.filter(F.col("bucket").isin(group))
         stage_acc = create_stage_metrics(spark)
+        # rows_in counts accumulate inside the fused parse pass itself (the
+        # bucket column rides through the UDF) — no extra input-scan job
+        rows_acc = spark.sparkContext.accumulator({}, DictSumParam())
+        stage_acc["rows_in_by_bucket"] = rows_acc
         try:
             if fail_buckets and set(group) & fail_buckets:
                 raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
-            result = extract(part, config, metrics=stage_acc).join(
-                part.select("url", "bucket"), "url", "left"
-            )
-            # count once per group from the written data, not an extra job
+            result = extract(part, config, metrics=stage_acc)
+            if "bucket" not in result.columns:  # staged configs: re-key
+                result = result.join(part.select("url", "bucket"), "url", "left")
             # dynamic partition overwrite: a retried group replaces exactly
             # its own bucket partitions — idempotent under crash/retry
             (
@@ -101,10 +104,12 @@ def run_extraction(
                 .partitionBy("bucket")
                 .parquet(out_path)
             )
-            rows_in = {
-                r["bucket"]: r["count"]
-                for r in part.groupBy("bucket").count().collect()
-            }
+            rows_in = {int(k): int(v) for k, v in rows_acc.value.items()}
+            if not rows_in:  # staged path has no fused accumulator: count
+                rows_in = {
+                    r["bucket"]: r["count"]
+                    for r in part.groupBy("bucket").count().collect()
+                }
             # rows_out from the parquet just written (footer metadata count —
             # no recompute of the pipeline)
             rows_out = {
@@ -116,7 +121,9 @@ def run_extraction(
                 .collect()
             }
             wall = int((time.monotonic() - t0) * 1000)
-            stage_ms = {k: int(v.value) for k, v in stage_acc.items()}
+            stage_ms = {
+                k: int(v.value) for k, v in stage_acc.items() if k != "rows_in_by_bucket"
+            }
             _append_lineage(
                 spark,
                 lineage_path,

@@ -118,6 +118,33 @@ def test_batched_enricher_roundtrip_identity(pages_df, golden):
         assert r["extracted_text"] == golden[r["url"]].extracted_text
 
 
+def test_batched_enricher_batches_are_bounded(pages_df, golden):
+    """No model call ever sees more than batch_rows documents, regardless of
+    corpus size (the r01 fixed-64-groups version packed corpus/64 docs into
+    one row) — proven by running with a tiny cap over many chunks and
+    asserting both the bound and byte-identical alignment."""
+    from manga_translator_spark.operators.enrich import _SEP, make_enrich_batched
+
+    cap = 7
+
+    def bounded_call(joined: str) -> str:
+        # the batch size IS the separator count + 1; enforce the bound
+        # inside the executor (assertion failure fails the job -> the test);
+        # injected as a closure so it ships to workers by value
+        assert joined.count(_SEP) + 1 <= cap, "batch exceeded cap"
+        return joined
+
+    out = make_enrich_batched(batch_rows=cap, model_call=bounded_call)(
+        extract(pages_df, PipelineConfig(enricher="pipe"))
+    ).collect()
+    assert len(out) == len(golden)
+    for r in out:
+        assert r["extracted_text"] == golden[r["url"]].extracted_text
+        assert [(s["block_idx"], s["start"], s["end"]) for s in r["spans"]] == golden[
+            r["url"]
+        ].spans  # non-text columns survive the Arrow round trip
+
+
 def test_batched_enricher_separator_collision(spark):
     """Text containing the separator/escape chars must survive the batch
     round trip (the reference's bare '<s>' split corrupts such inputs —
