@@ -4,10 +4,20 @@ Runs (a) the flagship extraction pipeline over the deterministically seeded
 corpus (the engine's own workload: docs/sec), and (b) the heavier operator
 queries from the driver contract at $SPARK_GRAFT_SF_DIR.
 
+Noise discipline (BENCH/BASELINE.md): this sandbox VM has heavy,
+time-varying CPU steal — identical jobs swing up to 4x minutes apart — so
+every timing here is the **min over BENCH_ROUNDS interleaved rounds**
+(round-robin across all workloads, so a steal spike hits one round of many
+workloads instead of every run of one), after a warm-up pass that spins up
+the Python-worker pool and whole-stage codegen.  Min-of-N estimates
+capability; the interleaving is the single-process analogue of
+scripts/bench_scaling.py's ABBA protocol.
+
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
   BENCH_PAGES         corpus size for the extraction leg (default 20000)
+  BENCH_ROUNDS        interleaved rounds per workload (default 3)
 """
 
 from __future__ import annotations
@@ -19,61 +29,75 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+QUERY_NAMES = (
+    "pricing_summary",
+    "revenue_by_nation",
+    "order_fill_left_join",
+    "running_supplier_qty",
+    "top_order_per_cust",
+    "user_sessions",
+    "doc_langid",
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_stats",
+    "ann_in_bucket_topk",
+    "embedding_near_dup",
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
     import __spark_entry__ as entry_mod
+    from manga_translator_spark.operators.fused import create_stage_metrics
     from manga_translator_spark.plans.pipeline import PipelineConfig, extract
     from manga_translator_spark.session import get_spark
     from manga_translator_spark.sources.pages import corpus_df
 
     spark = get_spark(app="bench", master=f"local[{cpus}]")
-    timings: dict[str, float] = {}
-
-    # --- flagship: extraction docs/sec over the seeded corpus -------------
-    from manga_translator_spark.operators.fused import create_stage_metrics
-
-    stage_acc = create_stage_metrics(spark)
-    pages = corpus_df(spark, n_pages, partitions=cpus * 2)
-    # spin up the python-worker pool + JIT before the clock (bench_scaling
-    # methodology; cold-start is not a throughput property at 100 TB)
-    extract(corpus_df(spark, 2048, partitions=cpus * 2), PipelineConfig()).count()
-    t0 = time.monotonic()
-    n_out = extract(pages, PipelineConfig(), metrics=stage_acc).count()
-    timings["extract_corpus"] = round(time.monotonic() - t0, 3)
-    assert n_out == n_pages, f"pass-through violated: {n_out} != {n_pages}"
-    docs_per_sec = round(n_pages / timings["extract_corpus"], 1)
-
-    # --- operator queries from the driver contract ------------------------
     qs = entry_mod.queries()
-    for name in (
-        "pricing_summary",
-        "revenue_by_nation",
-        "order_fill_left_join",
-        "running_supplier_qty",
-        "top_order_per_cust",
-        "user_sessions",
-        "doc_langid",
-        "dedup_exact",
-        "minhash_signatures",
-        "lsh_candidate_pairs",
-        "simhash",
-        "ann_cosine_topk",
-        "ann_lsh_bucket_stats",
-    ):
-        # steady state: min of 2 runs (first run pays one-time whole-stage
-        # codegen compile, irrelevant at scale)
-        walls = []
-        for _ in range(2):
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            walls.append(time.monotonic() - t0)
-        timings[name] = round(min(walls), 3)
+    stage_acc = create_stage_metrics(spark)
 
+    def run_extract() -> int:
+        pages = corpus_df(spark, n_pages, partitions=cpus * 2)
+        return extract(pages, PipelineConfig(), metrics=stage_acc).count()
+
+    def make_q(name: str):
+        return lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    workloads: list[tuple[str, object]] = [("extract_corpus", run_extract)]
+    workloads += [(n, make_q(n)) for n in QUERY_NAMES]
+
+    # warm-up: python-worker pool, codegen compile, parquet footer cache
+    extract(corpus_df(spark, 2048, partitions=cpus * 2), PipelineConfig()).count()
+    for _, fn in workloads[1:]:
+        fn()
+
+    best: dict[str, float] = {}
+    stage_best: dict[str, int] = {}
+    for _ in range(rounds):
+        for name, fn in workloads:
+            snap = {k: int(v.value) for k, v in stage_acc.items()}
+            t0 = time.monotonic()
+            out = fn()
+            wall = time.monotonic() - t0
+            if name == "extract_corpus":
+                assert out == n_pages, f"pass-through violated: {out} != {n_pages}"
+                if wall < best.get(name, float("inf")):
+                    stage_best = {
+                        k: int(v.value) - snap[k] for k, v in stage_acc.items()
+                    }
+            best[name] = min(best.get(name, float("inf")), wall)
+
+    timings = {name: round(w, 3) for name, w in best.items()}
     total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_pages / best["extract_corpus"], 1)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -85,7 +109,9 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extract_docs_per_sec": docs_per_sec,
                 "extract_pages": n_pages,
-                "extract_stage_ms": {k: int(v.value) for k, v in stage_acc.items()},
+                "extract_stage_ms": stage_best,
+                "bench_rounds": rounds,
+                "estimator": "min-of-rounds, interleaved",
                 "cpus": cpus,
             }
         )
