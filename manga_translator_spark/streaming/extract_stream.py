@@ -45,8 +45,17 @@ def extract_stream(pages_stream: "DataFrame", config: PipelineConfig | None = No
     one, which is why the streaming path pins recognize into the fused UDF.
     """
     cfg = config or PipelineConfig()
-    if cfg.mode != "fused" or not cfg.recognize:
-        raise ValueError("streaming supports the fused pipeline mode")
+    # any non-default slot silently selects the staged plan inside extract()
+    # (joins/aggregations -> illegal in append mode without watermarks), so
+    # reject every config that would leave the fused path
+    if (
+        cfg.mode != "fused"
+        or not cfg.recognize
+        or cfg.repair != "none"
+        or cfg.cleaner != "strip"
+        or cfg.assembler != "arrays"
+    ):
+        raise ValueError("streaming supports the fused pipeline mode only")
     return extract(pages_stream, cfg)
 
 

@@ -1,0 +1,89 @@
+"""Multimodal column operators: real container decode + typed plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pytest
+
+from manga_translator_spark.functions.blocks import CLS_EMBEDDED_IMG, extract_blocks
+from manga_translator_spark.operators.multimodal import (
+    EMBED_DIM,
+    fake_embed_kernel,
+    media_blocks,
+    png_meta,
+    resize_images,
+    sample_frames,
+    with_media_embedding,
+    with_media_meta,
+)
+from manga_translator_spark.plans.pipeline import extract
+
+
+def test_png_meta_decodes_real_header():
+    from manga_translator_spark.corpus import make_png
+
+    m = png_meta(make_png("abc"))
+    assert m["is_png"] and (m["width"], m["height"]) == (8, 8)
+    assert m["bit_depth"] == 8 and m["color_type"] == 2  # 8-bit RGB
+    assert png_meta(b"not a png")["is_png"] is False
+    assert png_meta(None) == {
+        "n_bytes": 0, "is_png": False, "width": None, "height": None,
+        "bit_depth": None, "color_type": None,
+    }
+
+
+def test_media_meta_matches_oracle_blocks(pages_df, corpus_rows):
+    classified = extract(pages_df, until="classify")
+    got = {
+        (r["url"], r["block_idx"]): r
+        for r in with_media_meta(media_blocks(classified)).collect()
+    }
+    expected = {
+        (row["url"], b.block_idx): b
+        for row in corpus_rows
+        for b in extract_blocks(row["html"])
+        if b.cls == CLS_EMBEDDED_IMG
+    }
+    assert set(got) == set(expected) and len(got) > 0
+    for key, r in got.items():
+        assert r["is_png"] and (r["width"], r["height"]) == (8, 8)
+        assert r["n_bytes"] == len(expected[key].img_payload)
+
+
+def test_media_embedding_deterministic_and_feeds_similarity(pages_df, spark):
+    classified = extract(pages_df, until="classify")
+    emb = with_media_embedding(media_blocks(classified))
+    rows = emb.collect()
+    assert rows and all(len(r["embedding"]) == EMBED_DIM for r in rows)
+    # kernel parity: Spark row == local kernel on the same payload
+    sample = media_blocks(classified).limit(3).collect()
+    got = {(r["url"], r["block_idx"]): r["embedding"] for r in rows}
+    for s in sample:
+        local = fake_embed_kernel(s["payload"])
+        spark_vec = got[(s["url"], s["block_idx"])]
+        assert [round(float(v), 5) for v in spark_vec] == [round(v, 5) for v in local]
+    # the embedding column slots into the similarity operators unchanged —
+    # zero-pad 16 -> 64 dims (zip_with null-pads mismatched lengths, which
+    # would collapse every bucket to 0; padding keeps the dot products real)
+    from manga_translator_spark.operators.similarity import EMB_DIM as SIM_DIM
+    from manga_translator_spark.operators.similarity import lsh_buckets
+
+    as_vecs = emb.select(
+        F.xxhash64("url", "block_idx").alias("vec_id"),
+        F.expr(
+            f"concat(embedding, array_repeat(cast(0.0 as float), {SIM_DIM - EMBED_DIM}))"
+        ).alias("embedding"),
+    )
+    buckets = lsh_buckets(as_vecs).select("bucket").distinct()
+    n_buckets = buckets.count()
+    assert 1 < n_buckets <= 2 ** 16  # real spread, not a degenerate single bucket
+
+
+def test_resize_and_frame_sample_are_documented_stubs(pages_df):
+    classified = extract(pages_df, until="classify")
+    media = media_blocks(classified)
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media)
