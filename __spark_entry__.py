@@ -332,6 +332,10 @@ def _q_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
 
+def _q_winnow(spark, sf):
+    return dedup.winnow_fingerprints(_t(spark, sf, "documents"))
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -346,6 +350,10 @@ def _q_embedding_near_dup(spark, sf):
 
 def _q_ann_in_bucket(spark, sf):
     return similarity.ann_topk_in_bucket(_t(spark, sf, "embeddings"))
+
+
+def _q_ann_ivf(spark, sf):
+    return similarity.ann_ivf_topk(_t(spark, sf, "embeddings"))
 
 
 def _q_rollup_geo(spark, sf):
@@ -427,9 +435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
+        "winnow_fingerprint": _q_winnow,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
     }
 
@@ -796,6 +806,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents))
     """
 
+    w = dedup.WINNOW_W
+    sql["winnow_fingerprint"] = f"""
+      SELECT doc_id,
+             array_to_string(list_sort(list_distinct(
+               list_transform(generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+                              i -> list_min(hs[i:i + {w - 1}])))), ',') AS fps
+      FROM (SELECT doc_id, list_transform(shingles, s -> {h60_duck('s')}) AS hs
+            FROM (SELECT doc_id, {_SHINGLES} AS shingles
+                  FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)))
+    """
+
     cos = (
         f"{_dot_duck('q.embedding', 'n.embedding')} / "
         f"(sqrt({_dot_duck('q.embedding', 'q.embedding')}) * "
@@ -854,6 +875,40 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
         FROM (SELECT query_id, neighbor_id, round({cos_qn}, 4) AS cos_sim
               FROM ecand
+              JOIN embeddings q ON query_id = q.vec_id
+              JOIN embeddings n ON neighbor_id = n.vec_id)
+      ) WHERE rank <= 5
+    """
+
+    cos_ec = (
+        f"{_dot_duck('e.embedding', 'c.embedding')} / "
+        f"(sqrt({_dot_duck('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_dot_duck('c.embedding', 'c.embedding')}))"
+    )
+    sql["ann_ivf_topk"] = f"""
+      WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings ORDER BY vec_id LIMIT {similarity.IVF_N_CELLS}),
+      scored AS (
+        SELECT e.vec_id, c.cell, round({cos_ec}, 4) AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+      ),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell ASC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+      ),
+      ivfq AS (SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id % 97 = 0),
+      ivfc AS (
+        SELECT query_id, a.vec_id AS neighbor_id
+        FROM ivfq JOIN assigned a USING (cell) WHERE a.vec_id != ivfq.query_id
+      )
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM (SELECT query_id, neighbor_id, round({cos_qn}, 4) AS cos_sim
+              FROM ivfc
               JOIN embeddings q ON query_id = q.vec_id
               JOIN embeddings n ON neighbor_id = n.vec_id)
       ) WHERE rank <= 5

@@ -45,9 +45,11 @@ QUERY_NAMES = (
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "winnow_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
 )
 

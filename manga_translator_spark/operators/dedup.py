@@ -159,6 +159,36 @@ def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold:
     )
 
 
+WINNOW_W = 4
+
+
+def winnow_fingerprints(docs: "DataFrame", text_col: str = "text", w: int = WINNOW_W) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken rolling-
+    hash selection): hash every token shingle, slide a w-window over the
+    hash sequence, keep each window's minimum — the sorted distinct minima
+    are the fingerprint set.  Guarantees any shared run of >= w shingles
+    between two documents shares a fingerprint, with ~1/w selection density
+    (the sampling-based dedup primitive between full MinHash and md5-exact).
+
+    Pure codegen/HOF column ops, zero shuffle; the hash sequence is
+    let-bound via the single-element ``transform`` idiom so the shingle
+    hashing runs once per document, not once per window (texthash.py rule).
+    Short docs (< w shingles) yield one whole-sequence window.
+    """
+    toks = tokens_spark(text_col)
+    sh = shingles_spark(toks, SHINGLE_W)
+    hashes = f"transform({sh}, s -> {h60_spark('s')})"
+    windows = (
+        f"transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {w})))"
+    )
+    expr = (
+        f"array_join(element_at(transform(array({hashes}), "
+        f"hs -> array_sort(array_distinct({windows}))), 1), ',')"
+    )
+    return spread(docs).select("doc_id", F.expr(expr).alias("fps"))
+
+
 SIMHASH_BITS = 32
 
 

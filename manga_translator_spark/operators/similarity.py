@@ -199,6 +199,70 @@ def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "Dat
     )
 
 
+IVF_N_CELLS = 16
+
+
+def ivf_assignments(embeddings: "DataFrame", n_cells: int = IVF_N_CELLS) -> "DataFrame":
+    """(vec_id, cell): IVF coarse quantizer — nearest centroid by cosine.
+
+    Centroids are the embeddings of the ``n_cells`` lowest vec_ids
+    (deterministic, data-derived, twin-able in SQL; a production build
+    would k-means them — the assignment/search shape is identical).  The
+    centroid side is tiny and broadcast; assignment is an argmax over
+    n_cells codegen'd dot products, ties to the lower cell id.
+    """
+    cents = embeddings.orderBy("vec_id").limit(n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell",
+            _cos_expr("embedding", "c_emb").alias("cos_c"),
+        )
+    )
+    # argmax with deterministic ties (cos desc, cell asc) — expressed as a
+    # rank-1 window so the DuckDB twin is the literal same SQL
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ann_ivf_topk(
+    embeddings: "DataFrame", k: int = 5, query_mod: int = 97, n_cells: int = IVF_N_CELLS
+) -> "DataFrame":
+    """IVF ANN: exact cosine restricted to the query's coarse cell.
+
+    The scale shape: the corpus partitions into n_cells disjoint cells (a
+    shuffle on the cell id), each query probes exactly one cell (nprobe=1),
+    and the rank<=k window gets the same partial-WindowGroupLimit pushdown
+    as cosine_topk.  Recall < 1 by design; the hyperplane-LSH family above
+    is the recall-multiplying alternative.
+    """
+    assigned = ivf_assignments(embeddings, n_cells).join(embeddings, "vec_id")
+    queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("embedding").alias("q_emb")
+    )
+    cands = queries.join(
+        assigned.select("cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = cands.select(
+        "query_id", "neighbor_id", _cos_expr("q_emb", "n_emb").alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_topk_in_bucket(embeddings: "DataFrame", k: int = 5, query_mod: int = 97) -> "DataFrame":
     """ANN: neighbors restricted to the query's (banded, capped) LSH
     buckets, then exact cosine over the bounded candidate set.  Recall < 1
