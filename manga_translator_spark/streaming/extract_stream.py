@@ -59,6 +59,78 @@ def extract_stream(pages_stream: "DataFrame", config: PipelineConfig | None = No
     return extract(pages_stream, cfg)
 
 
+def host_rate_windowed(
+    pages_stream: "DataFrame",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> "DataFrame":
+    """Watermarked event-time windowed aggregation: pages per host per
+    ``warc_ts`` window.
+
+    The late-data contract: rows older than ``max(event time) - watermark``
+    are dropped and their windows finalize — which is what makes the
+    aggregation legal in append mode (a window emits exactly once, when the
+    watermark passes its end).  This is the ingest-rate/skew monitor a
+    crawl pipeline runs beside extraction.
+    """
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), host)
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
+# output/state schemas for the stateful per-host counter
+_HOST_STATE_OUT = "host string, n_pages bigint, n_batches int"
+_HOST_STATE = "n_pages bigint, n_batches int"
+
+
+def host_page_totals(pages_stream: "DataFrame") -> "DataFrame":
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-host page totals across micro-batches (update mode).
+
+    The state (total pages, batches seen) lives in the state store and
+    survives restarts via the checkpoint — the arbitrary-stateful-operator
+    pattern (session trackers, per-key rate limiters) that windowed
+    aggregation can't express.  Kernel is vectorized per Arrow batch.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host")
+    keyed = pages_stream.select(host, "url")
+
+    def update(key, pdfs, state):
+        (host_val,) = key
+        total, batches = state.get if state.exists else (0, 0)
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame({"host": [host_val], "n_pages": [total], "n_batches": [batches]})
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=_HOST_STATE_OUT,
+        stateStructType=_HOST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_foreach_batch(
     spark: "SparkSession",
     in_path: str,
