@@ -69,6 +69,22 @@ def _cos_expr(a: str, b: str) -> "F.Column":
     )
 
 
+def _cos_pre(a: str, b: str, a_norm: str, b_norm: str) -> "F.Column":
+    """Cosine with **precomputed** norms: ``dot / (a_norm * b_norm)``.
+
+    Bit-identical to :func:`_cos_expr` (same doubles, same operation
+    order — the norms are the same sqrt-of-self-dot values, just evaluated
+    once per row instead of once per pair), so the DuckDB twins that spell
+    the norms inline stay hash-green.  At fan-outs (queries x corpus,
+    n_cells x corpus, candidate pairs) this removes 2/3 of the interpreted
+    HOF work."""
+    return F.round(F.expr(f"{_dot_expr(a, b)} / ({a_norm} * {b_norm})"), 4)
+
+
+def _with_norm(df: "DataFrame", emb_col: str, out: str) -> "DataFrame":
+    return df.withColumn(out, F.expr(_norm_expr(emb_col)))
+
+
 def cosine_topk(
     embeddings: "DataFrame",
     k: int = 5,
@@ -80,9 +96,11 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos_sim rounded, rank).  Rank ties break
     on neighbor_id so results are unique and oracle-comparable.
     """
-    base = embeddings.select("vec_id", "embedding")
+    base = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "n_norm")
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n_norm").alias("q_norm"),
     )
     pairs = (
         F.broadcast(queries)
@@ -91,7 +109,7 @@ def cosine_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos_expr("q_emb", "embedding").alias("cos_sim"),
+            _cos_pre("q_emb", "embedding", "q_norm", "n_norm").alias("cos_sim"),
         )
     )
     # rank <= k over the pair set: Spark's rank-limit pushdown inserts a
@@ -189,12 +207,17 @@ def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "Dat
     candidates — exact cosine is computed only for the bounded candidate
     set, never for an uncapped within-bucket self-join."""
     pairs = lsh_candidate_pairs(embeddings)
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sides = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm")
+    a = sides.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("norm_a")
+    )
+    b = sides.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("norm_b")
+    )
     return (
         pairs.join(a, "vec_a")
         .join(b, "vec_b")
-        .select("vec_a", "vec_b", _cos_expr("emb_a", "emb_b").alias("cos_sim"))
+        .select("vec_a", "vec_b", _cos_pre("emb_a", "emb_b", "norm_a", "norm_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -211,16 +234,20 @@ def ivf_assignments(embeddings: "DataFrame", n_cells: int = IVF_N_CELLS) -> "Dat
     centroid side is tiny and broadcast; assignment is an argmax over
     n_cells codegen'd dot products, ties to the lower cell id.
     """
-    cents = embeddings.orderBy("vec_id").limit(n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    cents = _with_norm(
+        embeddings.orderBy("vec_id").limit(n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+        ),
+        "c_emb",
+        "c_norm",
     )
     scored = (
-        embeddings.select("vec_id", "embedding")
+        _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "e_norm")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "cell",
-            _cos_expr("embedding", "c_emb").alias("cos_c"),
+            _cos_pre("embedding", "c_emb", "e_norm", "c_norm").alias("cos_c"),
         )
     )
     # argmax with deterministic ties (cos desc, cell asc) — expressed as a
@@ -244,16 +271,26 @@ def ann_ivf_topk(
     as cosine_topk.  Recall < 1 by design; the hyperplane-LSH family above
     is the recall-multiplying alternative.
     """
-    assigned = ivf_assignments(embeddings, n_cells).join(embeddings, "vec_id")
+    assigned = _with_norm(
+        ivf_assignments(embeddings, n_cells).join(embeddings, "vec_id"), "embedding", "nrm"
+    )
     queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"), "cell", F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
     )
     cands = queries.join(
-        assigned.select("cell", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")),
+        assigned.select(
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_norm"),
+        ),
         "cell",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     pairs = cands.select(
-        "query_id", "neighbor_id", _cos_expr("q_emb", "n_emb").alias("cos_sim")
+        "query_id", "neighbor_id", _cos_pre("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -283,12 +320,17 @@ def ann_topk_in_bucket(embeddings: "DataFrame", k: int = 5, query_mod: int = 97)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q_emb = embeddings.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    n_emb = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    sides = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm")
+    q_emb = sides.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_norm")
+    )
+    n_emb = sides.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_norm")
+    )
     pairs = (
         cand_ids.join(q_emb, "query_id")
         .join(n_emb, "neighbor_id")
-        .select("query_id", "neighbor_id", _cos_expr("q_emb", "n_emb").alias("cos_sim"))
+        .select("query_id", "neighbor_id", _cos_pre("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
