@@ -336,6 +336,10 @@ def _q_winnow(spark, sf):
     return dedup.winnow_fingerprints(_t(spark, sf, "documents"))
 
 
+def _q_dedup_clusters(spark, sf):
+    return dedup.dedup_clusters(_t(spark, sf, "documents"))
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -436,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "winnow_fingerprint": _q_winnow,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -804,6 +809,23 @@ def oracle_sql() -> dict[str, str]:
              END AS simhash
       FROM (SELECT doc_id, list_transform(tokens, t -> {h60_duck('t')}) AS hashes
             FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents))
+    """
+
+    # connected components over the LSH pair graph as a recursive closure;
+    # cluster = min(reachable set ∪ self).  Exact twin of the Spark
+    # min-label-propagation fixpoint.
+    sql["dedup_clusters"] = _BANDS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+      eedges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM eedges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN eedges e ON r.b = e.a
+      )
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+      GROUP BY d.doc_id
     """
 
     w = dedup.WINNOW_W

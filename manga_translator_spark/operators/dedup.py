@@ -159,6 +159,71 @@ def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold:
     )
 
 
+def dedup_clusters(
+    docs: "DataFrame", text_col: str = "text", pairs: "DataFrame | None" = None
+) -> "DataFrame":
+    """Near-duplicate cluster resolution: connected components over the LSH
+    candidate-pair graph, canonical id = min doc_id per component.
+
+    A dedup pipeline keeps one document per *cluster*, not per pair, so
+    pair generation needs this closure step.  Implementation is iterative
+    min-label propagation (the standard Spark connected-components loop;
+    GraphFrames is just this with bells): every node starts as its own
+    label, each round takes the min over neighbors' labels, and the loop
+    stops at fixpoint — iterations = graph diameter, which for LSH
+    near-dup graphs is tiny (capped buckets produce cliques; chains only
+    via shared members).  ``localCheckpoint`` truncates the lineage each
+    round so the plan doesn't grow with iterations; the per-round
+    ``count`` is the convergence test, not a data collect.
+
+    Output: (doc_id, cluster_id) for EVERY document (singletons map to
+    themselves) — the driver twin is a DuckDB recursive CTE computing the
+    same closure exactly.  ``pairs`` overrides the edge source (tests
+    inject multi-hop chain graphs; default is the LSH candidate pairs).
+    """
+    if pairs is None:
+        pairs = lsh_candidate_pairs(docs, text_col)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.id, "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+    )
+
+
 WINNOW_W = 4
 
 

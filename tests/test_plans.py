@@ -54,6 +54,24 @@ def test_cosine_topk_shuffle_is_rank_limited(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_dedup_clusters_multi_hop_chain(spark):
+    """Connected-components fixpoint: a 1-2, 2-3 chain (no 1-3 edge) must
+    collapse into one cluster with canonical id 1 — requires >1 label-
+    propagation round — and isolated docs stay singletons."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5], "text": ["a", "b", "c", "d", "e"]})
+    )
+    chain = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 5], "doc_b": [2, 3, 4]})
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs=chain).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
 def test_embedding_lsh_candidates_are_capped(spark):
     """Bounded pair fan-out on a pathologically skewed embedding fixture:
     every vector identical => all land in one bucket per band; the
