@@ -340,6 +340,16 @@ def _q_dedup_clusters(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def _q_gopher_quality(spark, sf):
+    return text_analysis.gopher_quality(_t(spark, sf, "documents"))
+
+
+def _q_training_corpus(spark, sf):
+    from manga_translator_spark.operators.training import training_corpus
+
+    return training_corpus(_t(spark, sf, "documents"))
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -441,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "winnow_fingerprint": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
+        "gopher_quality": _q_gopher_quality,
+        "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -529,8 +541,9 @@ from manga_translator_spark.functions.texthash import MINHASH_A, MINHASH_B, MINH
 _A_LIST = "[" + ", ".join(str(v) for v in MINHASH_A[: dedup.MINHASH_K]) + "]"
 _B_LIST = "[" + ", ".join(str(v) for v in MINHASH_B[: dedup.MINHASH_K]) + "]"
 
-_MINHASH_CTE = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+def _minhash_cte(src: str = "documents", lead: str = "WITH") -> str:
+    return f"""
+{lead} toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {src}),
 sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM toks),
 hs AS (SELECT doc_id, list_transform(shingles, s -> {h60_duck('s')} % {MINHASH_P}) AS hvals FROM sh),
 sig AS (SELECT doc_id, list_transform(generate_series(0, {_K - 1}),
@@ -539,7 +552,9 @@ sig AS (SELECT doc_id, list_transform(generate_series(0, {_K - 1}),
         FROM hs)
 """
 
-_BANDS_CTE = _MINHASH_CTE + f""",
+
+def _bands_cte(src: str = "documents", lead: str = "WITH") -> str:
+    return _minhash_cte(src, lead) + f""",
 bands AS (
   SELECT doc_id, band_idx,
          {h60_duck(f"array_to_string(list_transform(signature[band_idx * {_ROWS} + 1 : band_idx * {_ROWS} + {_ROWS}], x -> x::VARCHAR), ',')")} AS band_hash
@@ -555,6 +570,10 @@ pairs AS (
         FROM (SELECT unnest(ids) AS a, ids FROM buckets))
 )
 """
+
+
+_MINHASH_CTE = _minhash_cte()
+_BANDS_CTE = _bands_cte()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -809,6 +828,60 @@ def oracle_sql() -> dict[str, str]:
              END AS simhash
       FROM (SELECT doc_id, list_transform(tokens, t -> {h60_duck('t')}) AS hashes
             FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents))
+    """
+
+    # Gopher-rule quality twin (same integer constants/comparisons as
+    # text_analysis.gopher_quality); reused as the filter stage of the
+    # training_corpus composition below.
+    ta = text_analysis
+    g_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    g_arr = ", ".join(f"'{w}'" for w in g_stops)
+    g_sym = "length(text) - length(regexp_replace(text, '[#…]', '', 'g'))"
+
+    def _gopher_select(src: str) -> str:
+        return f"""
+      SELECT doc_id, n_tokens, ok_n_words, ok_word_len, ok_symbols, ok_stopwords,
+             CASE WHEN ok_n_words + ok_word_len + ok_symbols + ok_stopwords = 4
+                  THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT doc_id, len(tokens) AS n_tokens,
+               CASE WHEN len(tokens) BETWEEN {ta.GOPHER_MIN_WORDS} AND {ta.GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END AS ok_n_words,
+               CASE WHEN len(tokens) = 0 THEN 0
+                    WHEN list_sum(list_transform(tokens, t -> length(t)))
+                         BETWEEN {ta.GOPHER_MIN_MEAN_WORD_LEN} * len(tokens)
+                             AND {ta.GOPHER_MAX_MEAN_WORD_LEN} * len(tokens)
+                    THEN 1 ELSE 0 END AS ok_word_len,
+               CASE WHEN 100 * ({g_sym}) <= {ta.GOPHER_MAX_SYMBOL_RATIO_PCT} * greatest(len(tokens), 1)
+                    THEN 1 ELSE 0 END AS ok_symbols,
+               CASE WHEN len(list_filter(tokens, t -> list_contains([{g_arr}], t))) >= {ta.GOPHER_MIN_STOPWORD_HITS}
+                    THEN 1 ELSE 0 END AS ok_stopwords
+        FROM (SELECT doc_id, text, {_TOKS} AS tokens FROM {src})
+      )"""
+
+    sql["gopher_quality"] = _gopher_select("documents")
+
+    sql["training_corpus"] = f"""
+      WITH RECURSIVE gq AS ({_gopher_select('documents')}),
+      kept AS (SELECT d.* FROM documents d
+               JOIN gq ON d.doc_id = gq.doc_id AND gq.keep = 1),
+      keptc AS (SELECT k.* FROM kept k
+                JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) c
+                ON k.doc_id = c.doc_id){_bands_cte('keptc', lead=',')},
+      eedges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM eedges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN eedges e ON r.b = e.a
+      ),
+      clusters AS (
+        SELECT k.doc_id, least(k.doc_id, coalesce(min(r.b), k.doc_id)) AS cluster_id
+        FROM keptc k LEFT JOIN reach r ON k.doc_id = r.a GROUP BY k.doc_id
+      )
+      SELECT k.doc_id, md5(k.text) AS digest, len({tokens_duck('k.text')}) AS n_tokens
+      FROM keptc k JOIN clusters c ON k.doc_id = c.doc_id
+      WHERE c.cluster_id = k.doc_id
     """
 
     # connected components over the LSH pair graph as a recursive closure;

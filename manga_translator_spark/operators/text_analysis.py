@@ -120,6 +120,53 @@ def lang_id(docs: "DataFrame") -> "DataFrame":
     )
 
 
+# Gopher-style document-quality rule bounds (public heuristics family:
+# Rae et al. 2021 "Scaling Language Models" Appendix A — word-count range,
+# mean word length range, symbol-to-word ratio, stopword evidence).
+# Integer/ratio thresholds chosen for the synthetic corpus scale; the SQL
+# twin embeds the same constants.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100000
+GOPHER_MIN_MEAN_WORD_LEN = 2
+GOPHER_MAX_MEAN_WORD_LEN = 12
+GOPHER_MAX_SYMBOL_RATIO_PCT = 10  # '#' or '…' per word, percent
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def gopher_quality(docs: "DataFrame") -> "DataFrame":
+    """Gopher-rule quality verdict per document, with per-rule flags.
+
+    All integer comparisons (counts, percent-scaled ratios) so the DuckDB
+    twin agrees exactly; one pass of codegen column ops, zero shuffle.
+    The stopword rule uses the union of the language stopword lists.
+    """
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    arr = ", ".join(f"'{w}'" for w in all_stops)
+    hits = f"size(filter(tokens, t -> array_contains(array({arr}), t)))"
+    sym = "length(text) - length(regexp_replace(text, '[#…]', ''))"
+    d = with_tokens(docs)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"CAST(n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT)"
+        ).alias("ok_n_words"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN FALSE ELSE "
+            "aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + length(t)) "
+            f"BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} * n_tokens AND {GOPHER_MAX_MEAN_WORD_LEN} * n_tokens "
+            "END AS INT)"
+        ).alias("ok_word_len"),
+        F.expr(
+            f"CAST(100 * ({sym}) <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * greatest(n_tokens, 1) AS INT)"
+        ).alias("ok_symbols"),
+        F.expr(f"CAST({hits} >= {GOPHER_MIN_STOPWORD_HITS} AS INT)").alias("ok_stopwords"),
+    ).withColumn(
+        "keep",
+        F.expr("CAST(ok_n_words + ok_word_len + ok_symbols + ok_stopwords = 4 AS INT)"),
+    )
+
+
 def fingerprint(docs: "DataFrame") -> "DataFrame":
     """Document fingerprinting: full-text md5 + min-token-hash (a 1-perm
     minhash — the rolling-hash fingerprint of SURVEY-era pipelines)."""
