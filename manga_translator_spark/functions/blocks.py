@@ -304,18 +304,35 @@ class _BlockParser(HTMLParser):
 
 from html import unescape as _unescape  # noqa: E402
 
-_TAGNAME_RE = re.compile(r"[a-zA-Z][-a-zA-Z0-9_:.]*")
+# start tags reuse html.parser's OWN compiled tolerant regexes, so the
+# fast engine's tag/attr boundaries are char-identical by construction
+# ('<p<>' is a tag named 'p<' there; a dangling quote is an attr *name*)
+from html.parser import attrfind_tolerant as _ATTRFIND_TOLERANT  # noqa: E402
+from html.parser import locatestarttagend_tolerant as _LOCATE_START_END  # noqa: E402
+from html.parser import tagfind_tolerant as _TAGFIND_TOLERANT  # noqa: E402
 # End-tag handling mirrors html.parser.parse_endtag exactly: first the
 # strict form (whitespace allowed around the name), then the tolerant
 # name grab (any non-space/slash/gt chars), else bogus-comment skip.
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
 _ENDNAME_TOLERANT_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />]*")  # tagfind_tolerant
-_ATTR_RE = re.compile(
-    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
+# Conservative "clean attribute region" shape: when it fullmatches AND the
+# block parser won't read the attrs (no class/id/role token, not <img>),
+# the per-attr tolerant loop is skipped entirely — attrfind_tolerant
+# provably consumes such regions to exactly the same end position, so the
+# emitted events are identical with attrs=[] (the parser only ever reads
+# class/id/role and img src).  Anything unusual falls through to the
+# faithful loop.
+_SIMPLE_ATTRS_RE = re.compile(
+    r"""(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:"[^"]*"|'[^']*'|[^\s>'"=<`]+))?)*\s*"""
 )
-# everything up to the tag-closing '>' with quoted attr values respected
-# (html.parser's locatestarttagend_tolerant equivalent, single C-regex pass)
-_TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*""")
+# marked sections (<![CDATA[...]]> etc.) — mirrors _markupbase
+# parse_marked_section exactly, including its raise on unknown keywords
+# (extract_blocks catches and flushes, identically for both engines)
+_MS_NAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _declname_match
+_COMMENT_CLOSE_RE = re.compile(r"--\s*>")  # _markupbase._commentclose
+_MS_CLOSE_RE = re.compile(r"]\s*]\s*>")  # _markedsectionclose
+_MS_COND_CLOSE_RE = re.compile(r"]\s*>")  # _msmarkedsectionclose
+
 # raw-text elements: content runs to the close tag (html.parser's
 # CDATA_CONTENT_ELEMENTS).  The close-tag search uses the same pattern the
 # stdlib engine binds in set_cdata_mode — r'</\s*{tag}\s*>' — so
@@ -326,23 +343,25 @@ _RAWTEXT = ("script", "style")
 _RAWTEXT_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t) for t in _RAWTEXT}
 
 
-def _parse_attrs(rest: str) -> list[tuple[str, str | None]]:
-    attrs = []
-    for m in _ATTR_RE.finditer(rest):
-        name = m.group(1).lower()
-        val = m.group(2)
-        if val is not None:
-            if val[:1] in "\"'" and val[:1] == val[-1:] and len(val) >= 2:
-                val = val[1:-1]
-            if "&" in val:
-                val = _unescape(val)
-        attrs.append((name, val))
-    return attrs
-
-
 def _fast_feed(s: str, p: "_BlockParser") -> None:
     i, n = 0, len(s)
     lower = None  # lazily lowered copy for rawtext close-tag search
+
+    def _bogus(lt: int) -> int:
+        """Incomplete construct: html.parser's recovery emits the raw
+        slice up to (and including) the next '>' — else up to the next
+        '<', else just the '<' itself — as *data*, unescaped, and resumes
+        there (goahead's k<0 branch).  Byte-equal replication."""
+        gt = s.find(">", lt + 1)
+        if gt >= 0:
+            k = gt + 1
+        else:
+            k2 = s.find("<", lt + 1)
+            k = k2 if k2 >= 0 else lt + 1
+        chunk = s[lt:k]
+        p.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        return k
+
     while i < n:
         lt = s.find("<", i)
         if lt < 0:
@@ -356,19 +375,39 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
         nxt = s[lt + 1 : lt + 2]
         if nxt == "!":
             if s.startswith("<!--", lt):
-                end = s.find("-->", lt + 4)
-                i = n if end < 0 else end + 3
+                cm = _COMMENT_CLOSE_RE.search(s, lt + 4)
+                i = _bogus(lt) if cm is None else cm.end()
+            elif s.startswith("<![", lt):
+                # marked section: name scan, keyword dispatch, close search
+                if lt + 3 == n:
+                    i = _bogus(lt)
+                    continue
+                nm = _MS_NAME_RE.match(s, lt + 3)
+                if nm is None:  # stdlib _scan_name raises AssertionError
+                    raise ValueError("expected name token in marked section")
+                if nm.end() == n:
+                    i = _bogus(lt)  # name ran to EOF: incomplete
+                    continue
+                name = nm.group().strip().lower()
+                if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    cm = _MS_CLOSE_RE.search(s, lt + 3)
+                elif name in ("if", "else", "endif"):
+                    cm = _MS_COND_CLOSE_RE.search(s, lt + 3)
+                else:  # stdlib raises on unknown status keywords
+                    raise ValueError("unknown status keyword in marked section")
+                i = _bogus(lt) if cm is None else cm.end()
             else:  # doctype / bogus declaration
                 end = s.find(">", lt + 1)
-                i = n if end < 0 else end + 1
+                i = _bogus(lt) if end < 0 else end + 1
             continue
         if nxt == "?":
             end = s.find(">", lt + 1)
-            i = n if end < 0 else end + 1
+            i = _bogus(lt) if end < 0 else end + 1
             continue
         if nxt == "/":
             if s.find(">", lt + 2) < 0:
-                break  # incomplete close tag at EOF: dropped (as stdlib)
+                i = _bogus(lt)  # incomplete close tag: data recovery
+                continue
             m = _ENDTAG_RE.match(s, lt)
             if m:  # strict '</ name >' form
                 p.handle_endtag(m.group(1).lower())
@@ -383,37 +422,77 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
                 continue
             i = s.find(">", lt + 2) + 1  # '</>' / bogus comment: skip it
             continue
-        m = _TAGNAME_RE.match(s, lt + 1)
-        if not m:
+        c = s[lt + 1 : lt + 2]
+        if not ("a" <= c <= "z" or "A" <= c <= "Z"):
             p.handle_data("<")  # stray '<' is text (stdlib emits it as data)
             i = lt + 1
             continue
-        tm = _TAG_END_RE.match(s, m.end())
-        gt = tm.end()
-        if gt >= n or s[gt] != ">":
-            break  # incomplete open tag at EOF: buffered-forever in stdlib
-        tag = m.group(0).lower()
-        rest = s[m.end() : gt]
-        selfclosing = rest.endswith("/")
-        if selfclosing:
-            rest = rest[:-1]
-        # attrs matter only for hint detection (class/id/role) and <img src>
-        # — skip the regex for the common attr-bearing tags that carry
-        # neither (e.g. <a href>)
-        if rest:
-            rl = rest if rest.islower() else rest.lower()
-            if tag == "img" or "class" in rl or "id" in rl or "role" in rl:
-                attrs = _parse_attrs(rest)
-            else:
-                attrs = []
+        # --- faithful port of parse_starttag/check_for_whole_start_tag ---
+        # (html.parser's own compiled tolerant regexes, so quote-in-name and
+        # dangling-quote edge cases parse char-identically)
+        j = _LOCATE_START_END.match(s, lt).end()
+        nc = s[j : j + 1]
+        if nc == ">":
+            endpos = j + 1
+        elif nc == "/":
+            endpos = j + 2 if s.startswith("/>", j) else -1
+        elif nc == "":
+            endpos = -1
+        elif nc in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            endpos = -1  # mid-attribute at buffer end
+        elif j > lt:
+            endpos = j
         else:
+            endpos = lt + 1
+        if endpos < 0:
+            i = _bogus(lt)  # incomplete open tag: data recovery
+            continue
+        tm = _TAGFIND_TOLERANT.match(s, lt + 1)
+        tag = tm.group(1).lower()
+        k = tm.end()
+        attrs = None
+        if nc == ">" or nc == "/":  # clean closer; endpos is j+1 / j+2
+            region = s[k:j]
+            if not region:
+                attrs = []
+            elif tag != "img":
+                rl = region if region.islower() else region.lower()
+                if (
+                    "class" not in rl
+                    and "id" not in rl
+                    and "role" not in rl
+                    and _SIMPLE_ATTRS_RE.fullmatch(region)
+                ):
+                    attrs = []
+        if attrs is None:
             attrs = []
+            while k < endpos:
+                am = _ATTRFIND_TOLERANT.match(s, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            end = s[k:endpos].strip()
+            if end not in (">", "/>"):
+                p.handle_data(s[lt:endpos])  # junk mid-tag: raw, NOT unescaped
+                i = endpos
+                continue
+            selfclosing = end.endswith("/>")
+        else:
+            selfclosing = nc == "/"
+        i = endpos
         if selfclosing:
             p.handle_startendtag(tag, attrs)
-        else:
-            p.handle_starttag(tag, attrs)
-        i = gt + 1
-        if tag in _RAWTEXT and not selfclosing:
+            continue
+        p.handle_starttag(tag, attrs)
+        if tag in _RAWTEXT:
             if lower is None:
                 lower = s.lower()
             cm = _RAWTEXT_CLOSE[tag].search(lower, i)

@@ -160,6 +160,30 @@ _HTMLISH = st.lists(
 ).map("".join)
 
 
+# richer alphabet for the cross-engine fuzz: the r01 advice found the fast
+# engine diverging on end-tag forms outside the original alphabet
+# ('</ script>', '</scriptx>'), so those shapes are first-class tokens here
+_HTMLISH_ENDTAGS = st.lists(
+    st.sampled_from(
+        list("abc <>/=\"'&\n\t")
+        + ["<p>", "</p>", "</ p>", "</ p >", "</p@>", "</p x>", "</>",
+           "<script>", "</script>", "</ script>", "</scriptx>", "</script x>",
+           "<style>", "</style>", "</ style >", "<div>", "</div>", "<a href='/x'>",
+           "</a>", "</ a>", "<!--", "-->", "<img src=x>", "<P>", "</P>"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@given(_HTMLISH_ENDTAGS)
+@settings(max_examples=400, deadline=None)
+def test_engine_equality_fuzz(s):
+    """Fast tokenizer == stdlib engine on adversarial end-tag-heavy input —
+    the char-identical invariant, fuzzed over the forms that diverged in
+    round 1 (ADVICE: rawtext close, whitespace-after-</)."""
+    assert extract_blocks(s, engine="fast") == extract_blocks(s, engine="stdlib"), s
+
+
 @given(_HTMLISH)
 @settings(max_examples=300, deadline=None)
 def test_parser_fuzz_deterministic_and_total(s):
@@ -208,6 +232,18 @@ def test_fast_engine_equals_stdlib_engine():
         b"<body><p>a</p@><p>second paragraph with plenty of content</p></body>",
         b"<body><p>a</ p ><p>second paragraph with plenty of content</p></body>",
         b"<body><p>a</></p><p>second paragraph with plenty of content</p></body>",
+        # r02 fuzz-found minimal divergences, each fixed and pinned:
+        b"<!--",  # unterminated comment: bogus-data recovery, not a drop
+        b"<!-->trailing text becomes data",  # comment with no proper close
+        b"<!---- >after",  # stdlib comment close is r'--\s*>'
+        b"<p<>;",  # tolerant tag names include almost anything
+        b"<x'>",  # dangling quote is part of the tag name
+        b"<f/'>",  # dangling quote as a bare attribute NAME
+        b"x</p",  # incomplete end tag at EOF -> '<' + tail as data
+        b"x<p class='a",  # incomplete open tag at EOF
+        b"<![CDATA[x]]>tail",  # marked section consumed, tail parses
+        b"<![CDATA[<br>",  # unterminated marked section: data to '>'
+        b"<![foo[x]]>",  # unknown keyword raises in both engines
     ]
     for s in snippets:
         assert extract_blocks(s, engine="stdlib") == extract_blocks(s, engine="fast"), s
