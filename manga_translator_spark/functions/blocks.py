@@ -310,6 +310,20 @@ from html import unescape as _unescape  # noqa: E402
 from html.parser import attrfind_tolerant as _ATTRFIND_TOLERANT  # noqa: E402
 from html.parser import locatestarttagend_tolerant as _LOCATE_START_END  # noqa: E402
 from html.parser import tagfind_tolerant as _TAGFIND_TOLERANT  # noqa: E402
+
+# Fuse the tag-name capture into the stdlib locate pattern (one C-regex
+# call instead of two per start tag).  Pure string surgery on the stdlib
+# pattern source; if a future Python changes the pattern shape, fall back
+# to the two-call path (_LOCATE_NAMED = None).
+_LOCATE_NAMED = None
+_name_part = r"[a-zA-Z][^\t\n\r\f />\x00]*"
+if _LOCATE_START_END.pattern.count("<" + _name_part) == 1:
+    _cand = re.compile(
+        _LOCATE_START_END.pattern.replace("<" + _name_part, "<(" + _name_part + ")", 1),
+        _LOCATE_START_END.flags,
+    )
+    if _cand.groups == 1:
+        _LOCATE_NAMED = _cand
 # End-tag handling mirrors html.parser.parse_endtag exactly: first the
 # strict form (whitespace allowed around the name), then the tolerant
 # name grab (any non-space/slash/gt chars), else bogus-comment skip.
@@ -405,13 +419,13 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
             i = _bogus(lt) if end < 0 else end + 1
             continue
         if nxt == "/":
-            if s.find(">", lt + 2) < 0:
-                i = _bogus(lt)  # incomplete close tag: data recovery
-                continue
             m = _ENDTAG_RE.match(s, lt)
-            if m:  # strict '</ name >' form
+            if m:  # strict '</ name >' form (the common case, checked first)
                 p.handle_endtag(m.group(1).lower())
                 i = m.end()
+                continue
+            if s.find(">", lt + 2) < 0:
+                i = _bogus(lt)  # incomplete close tag: data recovery
                 continue
             nm = _ENDNAME_TOLERANT_RE.match(s, lt + 2)
             if nm:  # tolerant: junk between name and '>' is consumed
@@ -430,7 +444,12 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
         # --- faithful port of parse_starttag/check_for_whole_start_tag ---
         # (html.parser's own compiled tolerant regexes, so quote-in-name and
         # dangling-quote edge cases parse char-identically)
-        j = _LOCATE_START_END.match(s, lt).end()
+        if _LOCATE_NAMED is not None:
+            lm = _LOCATE_NAMED.match(s, lt)
+            j = lm.end()
+        else:
+            lm = None
+            j = _LOCATE_START_END.match(s, lt).end()
         nc = s[j : j + 1]
         if nc == ">":
             endpos = j + 1
@@ -447,9 +466,14 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
         if endpos < 0:
             i = _bogus(lt)  # incomplete open tag: data recovery
             continue
-        tm = _TAGFIND_TOLERANT.match(s, lt + 1)
-        tag = tm.group(1).lower()
-        k = tm.end()
+        if lm is not None:
+            raw_name = lm.group(1)
+            tag = raw_name if raw_name.islower() else raw_name.lower()
+            k = lm.end(1)  # name end; attrs regexes tolerate the gap
+        else:
+            tm = _TAGFIND_TOLERANT.match(s, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
         attrs = None
         if nc == ">" or nc == "/":  # clean closer; endpos is j+1 / j+2
             region = s[k:j]
@@ -466,6 +490,8 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
                     attrs = []
         if attrs is None:
             attrs = []
+            if lm is not None:  # faithful loop needs tagfind's exact k
+                k = _TAGFIND_TOLERANT.match(s, lt + 1).end()
             while k < endpos:
                 am = _ATTRFIND_TOLERANT.match(s, k)
                 if not am:
