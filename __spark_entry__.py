@@ -761,9 +761,9 @@ def oracle_sql() -> dict[str, str]:
     upper = "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))"
     sql["doc_quality"] = f"""
       SELECT doc_id, length(text) AS n_chars_raw,
-             round(({punct}) / (length(text) + 1.0), 6) AS punct_ratio,
-             round(({digit}) / (length(text) + 1.0), 6) AS digit_ratio,
-             round(({upper}) / (length(text) + 1.0), 6) AS upper_ratio,
+             CAST(round((({punct}) / (length(text) + 1.0)) * 1000000.0) AS BIGINT) AS punct_ppm,
+             CAST(round((({digit}) / (length(text) + 1.0)) * 1000000.0) AS BIGINT) AS digit_ppm,
+             CAST(round((({upper}) / (length(text) + 1.0)) * 1000000.0) AS BIGINT) AS upper_ppm,
              CASE WHEN length(text) >= 100
                    AND ({punct}) / (length(text) + 1.0) < 0.1
                    AND ({digit}) / (length(text) + 1.0) < 0.2

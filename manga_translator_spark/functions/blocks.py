@@ -306,10 +306,35 @@ from html import unescape as _unescape  # noqa: E402
 
 # start tags reuse html.parser's OWN compiled tolerant regexes, so the
 # fast engine's tag/attr boundaries are char-identical by construction
-# ('<p<>' is a tag named 'p<' there; a dangling quote is an attr *name*)
-from html.parser import attrfind_tolerant as _ATTRFIND_TOLERANT  # noqa: E402
-from html.parser import locatestarttagend_tolerant as _LOCATE_START_END  # noqa: E402
-from html.parser import tagfind_tolerant as _TAGFIND_TOLERANT  # noqa: E402
+# ('<p<>' is a tag named 'p<' there; a dangling quote is an attr *name*).
+# These are PRIVATE stdlib globals and Python >= 3.13 reshaped them (CVE
+# hardening), so the imports are guarded: any missing name or unexpected
+# pattern shape disables the fast engine and every caller falls back to
+# the stdlib reference engine (ADVICE r02) — correctness never depends on
+# the stdlib's internals, only the speedup does.
+_FAST_ENGINE_OK = True
+try:
+    from html.parser import attrfind_tolerant as _ATTRFIND_TOLERANT  # noqa: E402
+    from html.parser import locatestarttagend_tolerant as _LOCATE_START_END  # noqa: E402
+    from html.parser import tagfind_tolerant as _TAGFIND_TOLERANT  # noqa: E402
+except ImportError:  # pragma: no cover - future-Python guard
+    _ATTRFIND_TOLERANT = _LOCATE_START_END = _TAGFIND_TOLERANT = None
+    _FAST_ENGINE_OK = False
+else:
+    # probe the exact internals the fast engine replicates: the tolerant
+    # tag-name shape and the cdata close pattern set_cdata_mode binds.
+    try:
+        if _TAGFIND_TOLERANT.pattern != r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*":
+            _FAST_ENGINE_OK = False
+        import html.parser as _hp_mod
+
+        _probe = _hp_mod.HTMLParser()
+        _probe.set_cdata_mode("script")
+        if _probe.interesting.pattern != r"</\s*script\s*>":
+            _FAST_ENGINE_OK = False
+        del _probe, _hp_mod
+    except Exception:  # pragma: no cover - future-Python guard
+        _FAST_ENGINE_OK = False
 
 # Fuse the tag-name capture into the stdlib locate pattern (one C-regex
 # call instead of two per start tag).  Pure string surgery on the stdlib
@@ -317,7 +342,7 @@ from html.parser import tagfind_tolerant as _TAGFIND_TOLERANT  # noqa: E402
 # to the two-call path (_LOCATE_NAMED = None).
 _LOCATE_NAMED = None
 _name_part = r"[a-zA-Z][^\t\n\r\f />\x00]*"
-if _LOCATE_START_END.pattern.count("<" + _name_part) == 1:
+if _FAST_ENGINE_OK and _LOCATE_START_END.pattern.count("<" + _name_part) == 1:
     _cand = re.compile(
         _LOCATE_START_END.pattern.replace("<" + _name_part, "<(" + _name_part + ")", 1),
         _LOCATE_START_END.flags,
@@ -328,7 +353,7 @@ if _LOCATE_START_END.pattern.count("<" + _name_part) == 1:
 # strict form (whitespace allowed around the name), then the tolerant
 # name grab (any non-space/slash/gt chars), else bogus-comment skip.
 _ENDTAG_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")  # endtagfind
-_ENDNAME_TOLERANT_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />]*")  # tagfind_tolerant
+_ENDNAME_TOLERANT_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")  # tagfind_tolerant
 # Conservative "clean attribute region" shape: when it fullmatches AND the
 # block parser won't read the attrs (no class/id/role token, not <img>),
 # the per-attr tolerant loop is skipped entirely — attrfind_tolerant
@@ -530,7 +555,7 @@ def _fast_feed(s: str, p: "_BlockParser") -> None:
             i = cm.end()
 
 
-DEFAULT_ENGINE = "fast"
+DEFAULT_ENGINE = "fast" if _FAST_ENGINE_OK else "stdlib"
 
 
 def extract_blocks(html: bytes | str, engine: str = DEFAULT_ENGINE) -> list[Block]:
@@ -545,7 +570,7 @@ def extract_blocks(html: bytes | str, engine: str = DEFAULT_ENGINE) -> list[Bloc
     text = decode_html(html) if isinstance(html, (bytes, bytearray, memoryview)) else (html or "")
     parser = _BlockParser()
     try:
-        if engine == "fast":
+        if engine == "fast" and _FAST_ENGINE_OK:
             _fast_feed(text, parser)
             parser._flush()
         else:

@@ -17,16 +17,26 @@ from __future__ import annotations
 
 import struct
 
-from manga_translator_spark.functions.normalize import h2z_text, normalize_text
+from manga_translator_spark.functions.normalize import _DOTS_RE, _dot_run, h2z_text
 
 
 def post_process_ocr(text: str) -> str:
     """OCR-output post-process — the full MangaOCR.post_process transplant
-    (reference ocr/manga_ocr.py:31-38): whitespace fold, ellipsis ->
-    "...", length-preserving dot-run rewrite, then half->full width folding
-    (jaconv.h2z(ascii=True, digit=True) analogue).  Width folding applies
-    to *recognized* text only; web block text keeps halfwidth ASCII."""
-    return h2z_text(normalize_text(text))
+    (reference ocr/manga_ocr.py:31-38), steps in the reference's order:
+      1. remove ALL whitespace (``"".join(text.split())`` — manga_ocr.py:33;
+         NOT the web-text single-space collapse, ADVICE r02),
+      2. fold U+2026 ellipsis to "..." (manga_ocr.py:34),
+      3. run-length-preserving ``[・.]{2,}`` rewrite (manga_ocr.py:35),
+      4. half->full width folding (jaconv.h2z(ascii=True, digit=True)
+         analogue, manga_ocr.py:36).
+    Width folding applies to *recognized* text only; web block text keeps
+    halfwidth ASCII and single spaces (normalize_text)."""
+    if not text:
+        return ""
+    text = "".join(text.split())
+    text = text.replace("…", "...")
+    text = _DOTS_RE.sub(_dot_run, text)
+    return h2z_text(text)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

@@ -64,18 +64,25 @@ def quality_features(docs: "DataFrame") -> "DataFrame":
     """Quality scoring: length/punctuation/digit/uppercase ratios.
 
     Ratios are double divisions by (length+1) — exact same expression in the
-    SQL twin, so values hash identically.  Emitted ratios are round(·, 6) on
-    BOTH sides (the repo-wide double-aggregate rounding invariant — the raw
-    doubles were bit-equal but tripped the driver's float canonicalization
-    in r01); the is_quality thresholds compare the *raw* ratios, identically
-    in the twin.
+    SQL twin.  Emitted ratios are integer parts-per-million on BOTH sides
+    (``CAST(round(raw * 1e6) AS BIGINT)``): rounded doubles were bit-equal
+    locally but tripped the driver's float canonicalization twice (r01, r02),
+    so per the repo invariant ("integer comparisons only in classifiers")
+    the comparable schema carries no float column at all.  The is_quality
+    thresholds compare the *raw* ratios, identically in the twin.
     """
+
+    def _ppm(pattern: str) -> str:
+        return (
+            f"CAST(round((({_count_expr(pattern)}) / (length(text) + 1.0)) * 1000000.0) AS BIGINT)"
+        )
+
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_raw"),
-        F.round(F.expr(f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0)"), 6).alias("punct_ratio"),
-        F.round(F.expr(f"({_count_expr('[0-9]')}) / (length(text) + 1.0)"), 6).alias("digit_ratio"),
-        F.round(F.expr(f"({_count_expr('[A-Z]')}) / (length(text) + 1.0)"), 6).alias("upper_ratio"),
+        F.expr(_ppm("[.!?,;:]")).alias("punct_ppm"),
+        F.expr(_ppm("[0-9]")).alias("digit_ppm"),
+        F.expr(_ppm("[A-Z]")).alias("upper_ppm"),
         F.expr(
             "CASE WHEN length(text) >= 100 AND "
             f"({_count_expr('[.!?,;:]')}) / (length(text) + 1.0) < 0.1 AND "

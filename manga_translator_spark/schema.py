@@ -90,6 +90,11 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("bucket", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("rows_in", T.LongType(), False),
+        # Spark accumulators can double-count on task retries/speculation;
+        # rows_in_exact=False flags an unreconciled accumulator-derived
+        # count so integrity audits (rows_in vs rows_out, resume decisions)
+        # never silently trust it (ADVICE r02).
+        T.StructField("rows_in_exact", T.BooleanType(), False),
         T.StructField("rows_out", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
         T.StructField("stage_ms", T.MapType(T.StringType(), T.LongType()), True),

@@ -58,6 +58,30 @@ def _append_lineage(spark: "SparkSession", path: str, rows: list[tuple]) -> None
     spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).write.mode("append").parquet(path)
 
 
+def _failed_tasks_in_group(spark: "SparkSession", group_id: str) -> int | None:
+    """Failed-task count across all jobs run under ``group_id``.
+
+    Accumulators double-count when tasks retry; zero failed tasks means the
+    accumulator-derived rows_in is exact.  Uses the JVM status tracker
+    (public SparkStatusTracker API); returns None when the probe itself is
+    unavailable so callers can flag the count approximate instead.
+    """
+    try:
+        tracker = spark.sparkContext._jsc.sc().statusTracker()
+        failed = 0
+        for job_id in tracker.getJobIdsForGroup(group_id):
+            info = tracker.getJobInfo(job_id)
+            if info.isEmpty():
+                continue
+            for stage_id in info.get().stageIds():
+                sinfo = tracker.getStageInfo(stage_id)
+                if not sinfo.isEmpty():
+                    failed += sinfo.get().numFailedTasks()
+        return failed
+    except Exception:  # pragma: no cover - JVM API drift guard
+        return None
+
+
 def run_extraction(
     spark: "SparkSession",
     pages: "DataFrame",
@@ -90,6 +114,8 @@ def run_extraction(
         # bucket column rides through the UDF) — no extra input-scan job
         rows_acc = spark.sparkContext.accumulator({}, DictSumParam())
         stage_acc["rows_in_by_bucket"] = rows_acc
+        group_id = f"lineage_{run_id}_{lo}"
+        spark.sparkContext.setJobGroup(group_id, "bucketed extraction group")
         try:
             if fail_buckets and set(group) & fail_buckets:
                 raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
@@ -105,11 +131,20 @@ def run_extraction(
                 .parquet(out_path)
             )
             rows_in = {int(k): int(v) for k, v in rows_acc.value.items()}
-            if not rows_in:  # staged path has no fused accumulator: count
+            # accumulator counts double on task retries/speculation: zero
+            # failed tasks in this job group => exact; retries => recount
+            # exactly (one pruned scan, only on the rare failure path);
+            # tracker unavailable => keep the value but flag approximate.
+            failed = _failed_tasks_in_group(spark, group_id)
+            rows_in_exact = failed == 0
+            if not rows_in or (failed is not None and failed > 0):
+                # staged path (no fused accumulator) or retried tasks:
+                # take the exact count
                 rows_in = {
                     r["bucket"]: r["count"]
                     for r in part.groupBy("bucket").count().collect()
                 }
+                rows_in_exact = True
             # rows_out from the parquet just written (footer metadata count —
             # no recompute of the pipeline)
             rows_out = {
@@ -128,14 +163,16 @@ def run_extraction(
                 spark,
                 lineage_path,
                 [
-                    (run_id, b, "done", rows_in.get(b, 0), rows_out.get(b, 0), wall, stage_ms)
+                    (run_id, b, "done", rows_in.get(b, 0), rows_in_exact, rows_out.get(b, 0), wall, stage_ms)
                     for b in group
                 ],
             )
         except Exception:
             wall = int((time.monotonic() - t0) * 1000)
             _append_lineage(
-                spark, lineage_path, [(run_id, b, "failed", -1, -1, wall, {}) for b in group]
+                spark, lineage_path, [(run_id, b, "failed", -1, True, -1, wall, {}) for b in group]
             )
             raise
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
     return run_id

@@ -52,7 +52,10 @@ def test_h2z_width_folding():
     assert h2z_text("abc 09") == "ａｂｃ　０９"
     assert h2z_text("ﾟ") == "゜"  # bare (semi)voiced mark: no base to merge
     assert h2z_text("kana only", ascii_=False, digit=False) == "kana only"
-    assert post_process_ocr("ﾃｽﾄ  ok…") == "テスト　ｏｋ．．．"
+    # the OCR path removes ALL whitespace before folding (manga_ocr.py:33),
+    # so no U+3000 appears between the words (ADVICE r02 fix)
+    assert post_process_ocr("ﾃｽﾄ  ok…") == "テストｏｋ．．．"
+    assert post_process_ocr(" a\tb\nc ") == "ａｂｃ"
 
 
 def test_normalize_empty():
@@ -244,6 +247,11 @@ def test_fast_engine_equals_stdlib_engine():
         b"<![CDATA[x]]>tail",  # marked section consumed, tail parses
         b"<![CDATA[<br>",  # unterminated marked section: data to '>'
         b"<![foo[x]]>",  # unknown keyword raises in both engines
+        # r03 (ADVICE r02 high): tagfind_tolerant excludes \x00 from tag
+        # names — a NUL inside an end tag must tokenize identically
+        b"<p>one</p\x00>two paragraphs of content here</p>",
+        b"<p>a</p\x00 b>tail paragraph with plenty of content</p>",
+        b"<div\x00id=x>NUL in start tag name here too</div>",
     ]
     for s in snippets:
         assert extract_blocks(s, engine="stdlib") == extract_blocks(s, engine="fast"), s
@@ -253,9 +261,9 @@ def test_fast_engine_equals_stdlib_engine():
 
 
 def test_recognize_roundtrip():
-    # recognize_batch applies the full OCR post-process (manga_ocr.py:31-38),
-    # so ASCII payload text comes back width-folded (h2z ascii=True)
-    assert recognize_batch([make_png("seed text 42")]) == ["ｓｅｅｄ　ｔｅｘｔ　４２"]
+    # recognize_batch applies the full OCR post-process (manga_ocr.py:31-38):
+    # ALL whitespace removed (step 1), then width-folded (h2z ascii=True)
+    assert recognize_batch([make_png("seed text 42")]) == ["ｓｅｅｄｔｅｘｔ４２"]
     assert decode_png_text(make_png("seed text 42")) == "seed text 42"
     assert recognize_batch([None, b"not a png", b""]) == ["", "", ""]
 

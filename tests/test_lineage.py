@@ -26,6 +26,8 @@ def test_run_writes_all_rows_and_lineage(spark, pages_df, golden, tmp_path):
     rows = lineage.collect()
     assert all(r["rows_in"] == r["rows_out"] for r in rows)  # pass-through
     assert sum(r["rows_in"] for r in rows) == len(golden)
+    # no task retries in-test => accumulator counts are verified exact
+    assert all(r["rows_in_exact"] for r in rows)
 
 
 def test_failed_bucket_resumes_without_recompute(spark, pages_df, golden, tmp_path):
