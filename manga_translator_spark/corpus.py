@@ -80,15 +80,20 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def make_png(text: str) -> bytes:
-    """Minimal valid 8x8 RGB PNG carrying ``text`` in a tEXt chunk.
-
-    STUB for pixel-rendered text (no imaging libs in the sandbox): the
-    recognizer stage's deterministic stub model decodes this chunk; a real
-    ONNX OCR model (reference ocr/manga_ocr.py:46-53) would read the pixels.
-    The binary-column plumbing is identical either way.
+    """Valid grayscale PNG whose PIXELS are ``text`` rendered as 8x8 glyph
+    strips (functions/glyph_model.render_text) — real image content the
+    numpy OCR model (GlyphRecognizer, matmul+argmax) recognizes from the
+    IDAT bytes, the way the reference's model reads crops
+    (ocr/manga_ocr.py:46-53).  The text also travels in a tEXt chunk: the
+    no-numpy fallback stub reads it, and tests cross-check pixel-decoded
+    text against it.
     """
-    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes((x * 16 + y) % 256 for x in range(24)) for y in range(8))
+    from manga_translator_spark.functions.glyph_model import render_text
+
+    pixels = render_text(text)  # (8, 8*max(len,1)) uint8
+    height, width = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + row.tobytes() for row in pixels)  # filter 0 rows
     text_payload = b"Description\x00" + text.encode("utf-8").replace(b"\x00", b" ")
     return (
         b"\x89PNG\r\n\x1a\n"

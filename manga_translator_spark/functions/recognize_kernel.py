@@ -3,12 +3,15 @@
 The reference's OCR stage (translator/src/manga_translator/ocr/manga_ocr.py:
 41-53) batches image crops through a VisionEncoderDecoder model, then
 post-processes the decoded strings (manga_ocr.py:31-38).  The sandbox ships
-no ONNX runtime or imaging libs, so the *model* here is a deterministic stub
-that decodes the corpus's PNG tEXt chunk (see corpus.make_png); the batching,
-schema and UDF plumbing in ``operators/recognize.py`` are the real design and
-would wrap an ``onnxruntime.InferenceSession`` identically (one
-``session.run`` per Arrow batch, model as a per-worker singleton — reference
-analogues detection/yolo.py:11, ocr/manga_ocr.py:24-27).
+no ONNX runtime, so the default *model* here is a tiny fixed-weight numpy
+network (functions/glyph_model.py): real grayscale-PNG pixel decode ->
+same-shape batch stacking -> one matmul+argmax per shape group, weights
+loaded once per worker from a committed .npz.  A deterministic tEXt-chunk
+stub remains as the no-numpy / unknown-layout fallback.  The batching,
+schema and UDF plumbing in ``operators/recognize.py`` would wrap an
+``onnxruntime.InferenceSession`` identically (one ``session.run`` per Arrow
+batch, model as a per-worker singleton — reference analogues
+detection/yolo.py:11, ocr/manga_ocr.py:24-27).
 
 Shared by oracle and Spark stage => identical recognized text by construction.
 """
@@ -47,6 +50,16 @@ try:  # real model path — absent in this sandbox, kept behind an import-try
 except ImportError:
     HAVE_ONNX = False
 
+try:  # numpy glyph model: REAL tensor inference over the PNG pixels
+    from manga_translator_spark.functions.glyph_model import (
+        decode_png_gray,
+        get_glyph_model,
+    )
+
+    HAVE_GLYPH_MODEL = True
+except ImportError:  # no numpy: the tEXt stub below is the fallback
+    HAVE_GLYPH_MODEL = False
+
 
 def decode_png_text(payload: bytes) -> str:
     """STUB inference: read the tEXt(Description) chunk of a PNG.
@@ -73,8 +86,22 @@ def decode_png_text(payload: bytes) -> str:
 
 
 def recognize_batch(payloads: list[bytes | None]) -> list[str]:
-    """Batched 'model' call: list in, positionally aligned list out —
-    the exact contract of the reference OCR plugin (plugin.py:151-165),
-    with post-processing (manga_ocr.py:31-38 analogue) applied.
+    """Batched model call: list in, positionally aligned list out — the
+    exact contract of the reference OCR plugin (plugin.py:151-165), with
+    post-processing (manga_ocr.py:31-38 analogue) applied.
+
+    Default path is REAL batched inference: grayscale PNG pixels ->
+    per-worker-singleton GlyphRecognizer (one matmul per same-shape group,
+    glyph_model.py).  Payloads the pixel decoder cannot handle (RGB PNGs,
+    non-PNG bytes) and no-numpy environments fall back to the tEXt stub.
     """
-    return [post_process_ocr(decode_png_text(p)) if p is not None else "" for p in payloads]
+    texts: list[str | None] = [None] * len(payloads)
+    if HAVE_GLYPH_MODEL:
+        model = get_glyph_model()
+        texts = model.infer_arrays([decode_png_gray(p) for p in payloads])
+    return [
+        post_process_ocr(
+            t if t is not None else (decode_png_text(p) if p is not None else "")
+        )
+        for t, p in zip(texts, payloads)
+    ]

@@ -24,8 +24,8 @@ def test_png_meta_decodes_real_header():
     from manga_translator_spark.corpus import make_png
 
     m = png_meta(make_png("abc"))
-    assert m["is_png"] and (m["width"], m["height"]) == (8, 8)
-    assert m["bit_depth"] == 8 and m["color_type"] == 2  # 8-bit RGB
+    assert m["is_png"] and (m["width"], m["height"]) == (24, 8)  # 8px/glyph
+    assert m["bit_depth"] == 8 and m["color_type"] == 0  # 8-bit grayscale
     assert png_meta(b"not a png")["is_png"] is False
     assert png_meta(None) == {
         "n_bytes": 0, "is_png": False, "width": None, "height": None,
@@ -47,7 +47,7 @@ def test_media_meta_matches_oracle_blocks(pages_df, corpus_rows):
     }
     assert set(got) == set(expected) and len(got) > 0
     for key, r in got.items():
-        assert r["is_png"] and (r["width"], r["height"]) == (8, 8)
+        assert r["is_png"] and r["height"] == 8 and r["width"] % 8 == 0
         assert r["n_bytes"] == len(expected[key].img_payload)
 
 
