@@ -925,8 +925,10 @@ def oracle_sql() -> dict[str, str]:
         FROM (
           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
                  round({cos}, 4) AS cos_sim
-          FROM embeddings q, embeddings n
-          WHERE q.vec_id % 97 = 0 AND n.vec_id != q.vec_id
+          FROM (SELECT * FROM embeddings WHERE vec_id % 97 = 0
+                ORDER BY vec_id LIMIT {similarity.MAX_QUERIES}) q,
+               embeddings n
+          WHERE n.vec_id != q.vec_id
         )
       ) WHERE rank <= 5
     """

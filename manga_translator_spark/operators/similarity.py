@@ -39,17 +39,29 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 EMB_DIM = 64
+# Defaults below are the driver-pinned values; every operator takes them as
+# ARGUMENTS (VERDICT r02 #3: scale knobs are per-corpus tuning parameters,
+# not module edits) and plans.pipeline.describe() surfaces the schemas.
 N_PLANES = 16          # total sign bits (2 bands x 8 bits)
 LSH_EMB_BANDS = 2      # bands; vectors pair if ANY band bucket matches
 PLANES_PER_BAND = N_PLANES // LSH_EMB_BANDS
 MAX_EMB_BUCKET = 50    # per-bucket candidate cap (sorted ids, deterministic)
+MAX_QUERIES = 1024     # hard bound on any broadcast query side
 PLANE_SEED = 7
 
-# Deterministic hyperplanes, shared verbatim by Spark and the SQL oracle.
-_rng = random.Random(PLANE_SEED)
-PLANES: list[list[int]] = [
-    [(1 if _rng.random() < 0.5 else -1) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
-]
+
+def make_planes(n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes, shared verbatim by Spark and the SQL
+    oracle (a prefix of a longer family is stable: plane j never changes
+    when n_planes grows)."""
+    rng = random.Random(seed)
+    return [
+        [(1 if rng.random() < 0.5 else -1) for _ in range(EMB_DIM)]
+        for _ in range(n_planes)
+    ]
+
+
+PLANES: list[list[int]] = make_planes()
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -89,18 +101,36 @@ def cosine_topk(
     embeddings: "DataFrame",
     k: int = 5,
     query_mod: int = 97,
+    queries: "DataFrame | None" = None,
+    max_queries: int = MAX_QUERIES,
 ) -> "DataFrame":
-    """Exact top-k cosine neighbors for the deterministic query subset
-    ``vec_id % query_mod == 0`` (self excluded).
+    """Exact top-k cosine neighbors for a BOUNDED query set (self excluded).
+
+    ``queries`` (vec_id, embedding) is the explicit query side; when None,
+    the deterministic subset ``vec_id % query_mod == 0`` is used.  Either
+    way the query side is capped at ``max_queries`` (lowest vec_ids — an
+    ordered limit, so the bound is deterministic and twin-able): the query
+    side is BROADCAST, and an uncapped fraction-of-corpus query set would
+    grow with the corpus and break at 100x (VERDICT r02 #4).  The bound is
+    plan-asserted in tests/test_plans.py.
 
     Output: (query_id, neighbor_id, cos_sim rounded, rank).  Rank ties break
     on neighbor_id so results are unique and oracle-comparable.
     """
     base = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "n_norm")
-    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("n_norm").alias("q_norm"),
+    if queries is None:
+        queries = embeddings.select("vec_id", "embedding").filter(
+            F.col("vec_id") % query_mod == 0
+        )
+    queries = (
+        _with_norm(queries.select("vec_id", "embedding"), "embedding", "n_norm")
+        .orderBy("vec_id")
+        .limit(max_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n_norm").alias("q_norm"),
+        )
     )
     pairs = (
         F.broadcast(queries)
@@ -135,30 +165,36 @@ def lsh_signature_expr(emb: str, planes: list[list[int]] | None = None) -> str:
     return " + ".join(terms)
 
 
-def lsh_buckets(embeddings: "DataFrame") -> "DataFrame":
-    """(vec_id, bucket) over ALL N_PLANES bits — the occupancy/diagnostic
-    partitioning (2^N_PLANES bucket space)."""
+def lsh_buckets(embeddings: "DataFrame", n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> "DataFrame":
+    """(vec_id, bucket) over ALL n_planes bits — the occupancy/diagnostic
+    partitioning (2^n_planes bucket space)."""
+    planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
     return embeddings.select(
-        "vec_id", F.expr(lsh_signature_expr("embedding")).alias("bucket")
+        "vec_id", F.expr(lsh_signature_expr("embedding", planes)).alias("bucket")
     )
 
 
-def lsh_band_buckets(embeddings: "DataFrame") -> "DataFrame":
-    """(vec_id, band_idx, bucket): one PLANES_PER_BAND-bit bucket per band —
-    the candidate-generation partitioning (multi-probe recall)."""
+def lsh_band_buckets(
+    embeddings: "DataFrame",
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_EMB_BANDS,
+    seed: int = PLANE_SEED,
+) -> "DataFrame":
+    """(vec_id, band_idx, bucket): one (n_planes/n_bands)-bit bucket per
+    band — the candidate-generation partitioning (multi-probe recall)."""
+    planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
+    per_band = n_planes // n_bands
     band_sigs = [
         F.expr(
-            lsh_signature_expr(
-                "embedding", PLANES[b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND]
-            )
+            lsh_signature_expr("embedding", planes[b * per_band : (b + 1) * per_band])
         ).alias(f"b{b}")
-        for b in range(LSH_EMB_BANDS)
+        for b in range(n_bands)
     ]
     stacked = F.explode(
         F.array(
             *[
                 F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("bucket"))
-                for b in range(LSH_EMB_BANDS)
+                for b in range(n_bands)
             ]
         )
     )
@@ -169,23 +205,28 @@ def lsh_band_buckets(embeddings: "DataFrame") -> "DataFrame":
     )
 
 
-def lsh_bucket_stats(embeddings: "DataFrame") -> "DataFrame":
+def lsh_bucket_stats(embeddings: "DataFrame", n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> "DataFrame":
     """Bucket occupancy — the skew diagnostic for the ANN index."""
     return (
-        lsh_buckets(embeddings)
+        lsh_buckets(embeddings, n_planes, seed)
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
 
 
-def lsh_candidate_pairs(embeddings: "DataFrame") -> "DataFrame":
+def lsh_candidate_pairs(
+    embeddings: "DataFrame",
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_EMB_BANDS,
+    max_bucket: int = MAX_EMB_BUCKET,
+) -> "DataFrame":
     """Distinct candidate pairs (a < b) sharing any band bucket, with the
     per-bucket cap applied to sorted ids (deterministic; the dedup path's
     MAX_BUCKET guard, operators/dedup.py:118)."""
-    bands = lsh_band_buckets(embeddings)
+    bands = lsh_band_buckets(embeddings, n_planes, n_bands)
     buckets = (
         bands.groupBy("band_idx", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, MAX_EMB_BUCKET).alias("ids"))
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     return (
@@ -202,11 +243,17 @@ def lsh_candidate_pairs(embeddings: "DataFrame") -> "DataFrame":
     )
 
 
-def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "DataFrame":
+def embedding_near_dup(
+    embeddings: "DataFrame",
+    threshold: float = 0.98,
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_EMB_BANDS,
+    max_bucket: int = MAX_EMB_BUCKET,
+) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs (a < b) over banded, capped LSH
     candidates — exact cosine is computed only for the bounded candidate
     set, never for an uncapped within-bucket self-join."""
-    pairs = lsh_candidate_pairs(embeddings)
+    pairs = lsh_candidate_pairs(embeddings, n_planes, n_bands, max_bucket)
     sides = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm")
     a = sides.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("norm_a")
@@ -223,72 +270,100 @@ def embedding_near_dup(embeddings: "DataFrame", threshold: float = 0.98) -> "Dat
 
 
 IVF_N_CELLS = 16
+IVF_NPROBE = 1
 
 
-def ivf_assignments(embeddings: "DataFrame", n_cells: int = IVF_N_CELLS) -> "DataFrame":
-    """(vec_id, cell): IVF coarse quantizer — nearest centroid by cosine.
+def _ivf_centroids(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
+    """Tiny broadcastable centroid side: embeddings of the n_cells lowest
+    vec_ids (deterministic, data-derived, twin-able in SQL; a production
+    build would k-means them — the assignment/search shape is identical).
 
-    Centroids are the embeddings of the ``n_cells`` lowest vec_ids
-    (deterministic, data-derived, twin-able in SQL; a production build
-    would k-means them — the assignment/search shape is identical).  The
-    centroid side is tiny and broadcast; assignment is an argmax over
-    n_cells codegen'd dot products, ties to the lower cell id.
-    """
-    cents = _with_norm(
+    ``n_cells`` is the corpus-scaling knob: it should grow ~sqrt(n) so each
+    cell stays executor-sized (VERDICT r02 #3 — a constant cell count means
+    each probe scans n/n_cells of the corpus forever)."""
+    return _with_norm(
         embeddings.orderBy("vec_id").limit(n_cells).select(
             F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
         ),
         "c_emb",
         "c_norm",
     )
+
+
+def _ivf_ranked(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
+    """(vec_id, cell, rn): every vector's centroids ranked by cosine —
+    rn=1 is the assignment, rn<=nprobe is the query probe set."""
     scored = (
         _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "e_norm")
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(_ivf_centroids(embeddings, n_cells)))
         .select(
             "vec_id",
             "cell",
             _cos_pre("embedding", "c_emb", "e_norm", "c_norm").alias("cos_c"),
         )
     )
-    # argmax with deterministic ties (cos desc, cell asc) — expressed as a
-    # rank-1 window so the DuckDB twin is the literal same SQL
+    # deterministic ties (cos desc, cell asc) — expressed as a rank window
+    # so the DuckDB twin is the literal same SQL
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_assignments(embeddings: "DataFrame", n_cells: int = IVF_N_CELLS) -> "DataFrame":
+    """(vec_id, cell): IVF coarse quantizer — nearest centroid by cosine.
+    The centroid side is tiny and broadcast; assignment is an argmax over
+    n_cells codegen'd dot products, ties to the lower cell id."""
+    return _ivf_ranked(embeddings, n_cells).filter(F.col("rn") == 1).select("vec_id", "cell")
 
 
 def ann_ivf_topk(
-    embeddings: "DataFrame", k: int = 5, query_mod: int = 97, n_cells: int = IVF_N_CELLS
+    embeddings: "DataFrame",
+    k: int = 5,
+    query_mod: int = 97,
+    n_cells: int = IVF_N_CELLS,
+    nprobe: int = IVF_NPROBE,
 ) -> "DataFrame":
-    """IVF ANN: exact cosine restricted to the query's coarse cell.
+    """IVF ANN: exact cosine restricted to the query's ``nprobe`` nearest
+    coarse cells.
 
     The scale shape: the corpus partitions into n_cells disjoint cells (a
-    shuffle on the cell id), each query probes exactly one cell (nprobe=1),
+    shuffle on the cell id), each query probes its nprobe nearest cells (a
+    union expressed as rn<=nprobe on the ranked centroid window — higher
+    nprobe buys recall for nprobe/n_cells of the corpus scanned per query),
     and the rank<=k window gets the same partial-WindowGroupLimit pushdown
     as cosine_topk.  Recall < 1 by design; the hyperplane-LSH family above
     is the recall-multiplying alternative.
     """
+    ranked = _ivf_ranked(embeddings, n_cells)
     assigned = _with_norm(
-        ivf_assignments(embeddings, n_cells).join(embeddings, "vec_id"), "embedding", "nrm"
+        ranked.filter(F.col("rn") == 1).select("vec_id", "cell").join(embeddings, "vec_id"),
+        "embedding",
+        "nrm",
     )
-    queries = assigned.filter(F.col("vec_id") % query_mod == 0).select(
+    probe_cells = ranked.filter(
+        (F.col("vec_id") % query_mod == 0) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    q_sides = _with_norm(
+        embeddings.filter(F.col("vec_id") % query_mod == 0).select("vec_id", "embedding"),
+        "embedding",
+        "nrm",
+    ).select(
         F.col("vec_id").alias("query_id"),
-        "cell",
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
     )
-    cands = queries.join(
-        assigned.select(
+    cands = (
+        probe_cells.join(q_sides, "query_id")
+        .join(
+            assigned.select(
+                "cell",
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("nrm").alias("n_norm"),
+            ),
             "cell",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("n_emb"),
-            F.col("nrm").alias("n_norm"),
-        ),
-        "cell",
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     pairs = cands.select(
         "query_id", "neighbor_id", _cos_pre("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim")
     )
@@ -300,15 +375,22 @@ def ann_ivf_topk(
     )
 
 
-def ann_topk_in_bucket(embeddings: "DataFrame", k: int = 5, query_mod: int = 97) -> "DataFrame":
+def ann_topk_in_bucket(
+    embeddings: "DataFrame",
+    k: int = 5,
+    query_mod: int = 97,
+    n_planes: int = N_PLANES,
+    n_bands: int = LSH_EMB_BANDS,
+    max_bucket: int = MAX_EMB_BUCKET,
+) -> "DataFrame":
     """ANN: neighbors restricted to the query's (banded, capped) LSH
     buckets, then exact cosine over the bounded candidate set.  Recall < 1
     by design; the scale win is that the join key is the band bucket and
     every bucket's contribution is capped."""
-    bands = lsh_band_buckets(embeddings)
+    bands = lsh_band_buckets(embeddings, n_planes, n_bands)
     capped = (
         bands.groupBy("band_idx", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, MAX_EMB_BUCKET).alias("ids"))
+        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
     )
     members = capped.select("band_idx", "bucket", F.explode("ids").alias("vec_id"))
     queries = bands.filter(F.col("vec_id") % query_mod == 0).select(

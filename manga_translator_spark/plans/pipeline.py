@@ -109,6 +109,52 @@ PLUGIN_ARGS: dict[str, dict[str, dict[str, dict]]] = {
 }
 
 
+def _operator_arg_schemas() -> dict:
+    """Arg schemas for the scale-knobbed analytics operators (VERDICT r02
+    #3): every per-corpus tuning parameter is a function argument with a
+    driver-pinned default — retuning for a different corpus never requires
+    a module edit.  Defaults are read live from the modules so this listing
+    cannot drift from the code."""
+    from manga_translator_spark.operators import dedup, similarity
+
+    def a(type_, default, doc):
+        return {"type": type_, "default": default, "doc": doc}
+
+    minhash = {
+        "k": a("int", dedup.MINHASH_K, "minhash permutations"),
+        "bands": a("int", dedup.LSH_BANDS, "LSH bands (recall knob)"),
+        "max_bucket": a("int", dedup.MAX_BUCKET, "per-bucket pair cap (spam guard)"),
+    }
+    emb_lsh = {
+        "n_planes": a("int", similarity.N_PLANES, "hyperplane sign bits"),
+        "n_bands": a("int", similarity.LSH_EMB_BANDS, "signature bands (recall knob)"),
+        "max_bucket": a("int", similarity.MAX_EMB_BUCKET, "per-bucket candidate cap"),
+    }
+    return {
+        "dedup.lsh_candidate_pairs": minhash,
+        "dedup.simhash": {"n_bits": a("int", dedup.SIMHASH_BITS, "fingerprint bits")},
+        "dedup.winnow_fingerprints": {"w": a("int", dedup.WINNOW_W, "winnowing window")},
+        "dedup.dedup_clusters": {
+            "max_iters": a("int", 20, "label-propagation round bound (raises past it)")
+        },
+        "similarity.cosine_topk": {
+            "k": a("int", 5, "neighbors per query"),
+            "max_queries": a("int", similarity.MAX_QUERIES, "broadcast query-side bound"),
+        },
+        "similarity.lsh_candidate_pairs": emb_lsh,
+        "similarity.ann_topk_in_bucket": {**emb_lsh, "k": a("int", 5, "neighbors per query")},
+        "similarity.embedding_near_dup": {
+            **emb_lsh,
+            "threshold": a("float", 0.98, "cosine near-dup threshold"),
+        },
+        "similarity.ann_ivf_topk": {
+            "n_cells": a("int", similarity.IVF_N_CELLS, "IVF cells (scale ~sqrt(corpus))"),
+            "nprobe": a("int", similarity.IVF_NPROBE, "cells probed per query (recall knob)"),
+            "k": a("int", 5, "neighbors per query"),
+        },
+    }
+
+
 def describe() -> dict:
     """Machine-readable registry of stage slots, their plugins AND each
     plugin's argument schema — the GET /info analogue (reference
@@ -117,6 +163,7 @@ def describe() -> dict:
     fields = PipelineConfig.__dataclass_fields__
     defaults = PipelineConfig()
     return {
+        "operators": _operator_arg_schemas(),
         "stages": list(STAGE_ORDER),
         "slots": {
             "cleaner": sorted(CLEANERS),

@@ -94,3 +94,83 @@ def test_embedding_lsh_candidates_are_capped(spark):
     assert 0 < len(pairs) <= cap_pairs  # bands dedup to the same capped set
     # deterministic victims: the cap keeps the lowest vec_ids
     assert max(max(p["vec_a"], p["vec_b"]) for p in pairs) < MAX_EMB_BUCKET
+
+
+def test_cosine_topk_query_side_is_bounded(spark):
+    """The broadcast query side must be constant-bounded (VERDICT r02 #4):
+    an ordered GlobalLimit caps it regardless of corpus size, and a
+    max_queries below the subset size truncates deterministically to the
+    lowest vec_ids."""
+    from manga_translator_spark.operators.similarity import cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = cosine_topk(df)._jdf.queryExecution().executedPlan().toString()
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
+    # functional bound: 2 queries only, the two lowest matching vec_ids
+    got = cosine_topk(df, k=2, max_queries=2).collect()
+    qids = sorted({r["query_id"] for r in got})
+    all_qids = sorted(
+        r["vec_id"] for r in df.filter("vec_id % 97 = 0").select("vec_id").collect()
+    )
+    assert qids == all_qids[:2]
+    # explicit query DataFrame overrides the modulo subset
+    explicit = df.filter("vec_id % 31 = 1").select("vec_id", "embedding")
+    got2 = cosine_topk(df, k=1, queries=explicit, max_queries=3).collect()
+    exp_q = sorted(r["vec_id"] for r in explicit.select("vec_id").collect())[:3]
+    assert sorted({r["query_id"] for r in got2}) == exp_q
+
+
+def test_dedup_clusters_max_iters_guard(spark):
+    """An adversarial long chain must hit the round bound and raise, not
+    loop silently (each round is a full-graph barrier at 100 TB)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from manga_translator_spark.operators.dedup import dedup_clusters
+
+    n = 12  # chain 0-1-2-...-11: diameter 11 > max_iters=3
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(n), "text": ["x"] * n}))
+    chain = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(n - 1), "doc_b": range(1, n)})
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs=chain, max_iters=3)
+    # and a generous bound still converges to one cluster
+    got = dedup_clusters(docs, pairs=chain, max_iters=20).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+
+
+def test_scale_knobs_are_arguments_and_described(spark):
+    """Changed knobs need no module edit (VERDICT r02 #3): non-default
+    n_cells/nprobe/planes/bands/caps flow through, and describe() lists
+    every knob with its pinned default."""
+    import pandas as pd
+
+    from manga_translator_spark.operators import dedup, similarity
+    from manga_translator_spark.plans.pipeline import describe
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # IVF: more cells + nprobe=2 runs and yields ranked rows per query
+    got = similarity.ann_ivf_topk(emb, k=2, n_cells=8, nprobe=2).collect()
+    assert got and all(r["rank"] <= 2 for r in got)
+    # nprobe=2 probes a superset of nprobe=1 => per-query top-1 cosine >=
+    nb1 = {
+        r["query_id"]: r["cos_sim"]
+        for r in similarity.ann_ivf_topk(emb, k=1, n_cells=8, nprobe=1).collect()
+    }
+    nb2 = {
+        r["query_id"]: r["cos_sim"]
+        for r in similarity.ann_ivf_topk(emb, k=1, n_cells=8, nprobe=2).collect()
+    }
+    assert all(nb2[q] >= nb1[q] for q in nb1)
+    # LSH: 8 planes / 4 bands / cap 10 flows through both families
+    assert similarity.lsh_candidate_pairs(emb, n_planes=8, n_bands=4, max_bucket=10).count() >= 0
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]})
+    )
+    assert dedup.lsh_candidate_pairs(docs, k=4, bands=2, max_bucket=5).count() == 1
+    ops = describe()["operators"]
+    assert ops["similarity.ann_ivf_topk"]["n_cells"]["default"] == similarity.IVF_N_CELLS
+    assert ops["similarity.ann_ivf_topk"]["nprobe"]["default"] == similarity.IVF_NPROBE
+    assert ops["dedup.lsh_candidate_pairs"]["max_bucket"]["default"] == dedup.MAX_BUCKET
+    assert ops["similarity.cosine_topk"]["max_queries"]["default"] == similarity.MAX_QUERIES
