@@ -344,6 +344,10 @@ def _q_gopher_quality(spark, sf):
     return text_analysis.gopher_quality(_t(spark, sf, "documents"))
 
 
+def _q_doc_wrap_lines(spark, sf):
+    return text_analysis.wrap_lines(_t(spark, sf, "documents"))
+
+
 def _q_training_corpus(spark, sf):
     from manga_translator_spark.operators.training import training_corpus
 
@@ -452,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
         "gopher_quality": _q_gopher_quality,
+        "doc_wrap_lines": _q_doc_wrap_lines,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -860,6 +865,10 @@ def oracle_sql() -> dict[str, str]:
       )"""
 
     sql["gopher_quality"] = _gopher_select("documents")
+
+    from manga_translator_spark.functions.wrap import wrap_sql_duck
+
+    sql["doc_wrap_lines"] = wrap_sql_duck("documents", ta.WRAP_WIDTH)
 
     sql["training_corpus"] = f"""
       WITH RECURSIVE gq AS ({_gopher_select('documents')}),

@@ -109,3 +109,29 @@ def assemble_exploded(classified: "DataFrame") -> "DataFrame":
         )
         .withColumn("n_blocks", F.coalesce("n_blocks", F.lit(0)))
     )
+
+
+def with_wrapped_lines(assembled: "DataFrame", wrap_width: int = 40) -> "DataFrame":
+    """Optional drawer-style text flow per span (VERDICT r02 #5): each main
+    span's text greedily wrapped at ``wrap_width`` unit cells — the
+    wrap_text_pure transplant (reference utils.py:135-169, kernel + SQL
+    fold in functions/wrap.py).
+
+    Adds ``lines ARRAY<STRUCT<block_idx: INT, lines: ARRAY<STRING>>>``
+    aligned with ``spans``; a span whose longest word exceeds the width
+    carries NULL lines (the kernel's None/retry contract).  Pure codegen
+    transform over the already-assembled columns: zero shuffle, fused- and
+    staged-compatible, byte-identical to the Python kernel (tests assert).
+    """
+    from manga_translator_spark.functions.wrap import wrap_fold_spark, words_expr_spark
+
+    span_text = "substring(extracted_text, CAST(s.start AS INT) + 1, CAST(s.end - s.start AS INT))"
+    fold = wrap_fold_spark(words_expr_spark(span_text), wrap_width)
+    return assembled.withColumn(
+        "lines",
+        F.expr(
+            "transform(spans, s -> named_struct("
+            f"'block_idx', s.block_idx, "
+            f"'lines', split(({fold}).wrapped, char(10))))"
+        ),
+    )

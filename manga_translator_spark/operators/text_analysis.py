@@ -185,3 +185,28 @@ def fingerprint(docs: "DataFrame") -> "DataFrame":
             f"array_min(transform(tokens, t -> {h60_spark('t')})) END"
         ).alias("min_token_hash"),
     )
+
+
+WRAP_WIDTH = 40  # driver-pinned default; per-corpus knob
+
+
+def wrap_lines(docs: "DataFrame", width: int = WRAP_WIDTH) -> "DataFrame":
+    """Per-document greedy text wrap (the drawer-stage text-flow analogue,
+    reference utils.py:135-169 via functions/wrap.py).
+
+    Emits (doc_id, n_lines, wrapped, fits): wrapped is the chr(10)-joined
+    line text (NULL when a word exceeds ``width`` — the kernel's None/
+    retry contract), fits the integer flag of that.  Pure codegen fold,
+    zero shuffle; the DuckDB twin runs the same fold via list_reduce.
+    """
+    from manga_translator_spark.functions.wrap import wrap_fold_spark, words_expr_spark
+
+    fold = wrap_fold_spark(words_expr_spark("text"), width)
+    return spread(docs).select(
+        "doc_id", F.expr(f"({fold})").alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.n_lines").alias("n_lines"),
+        F.col("w.wrapped").alias("wrapped"),
+        F.expr("CAST(w.wrapped IS NOT NULL AS INT)").alias("fits"),
+    )

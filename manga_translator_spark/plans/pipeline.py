@@ -137,6 +137,12 @@ def _operator_arg_schemas() -> dict:
         "dedup.dedup_clusters": {
             "max_iters": a("int", 20, "label-propagation round bound (raises past it)")
         },
+        "text_analysis.wrap_lines": {
+            "width": a("int", 40, "wrap width in unit cells (drawer text-flow)")
+        },
+        "assemble.with_wrapped_lines": {
+            "wrap_width": a("int", 40, "per-span wrap width in unit cells")
+        },
         "similarity.cosine_topk": {
             "k": a("int", 5, "neighbors per query"),
             "max_queries": a("int", similarity.MAX_QUERIES, "broadcast query-side bound"),

@@ -1,0 +1,145 @@
+"""Text-flow (wrap) stage: kernel semantics + three-way engine equality.
+
+The kernel transplants wrap_text_pure / find_best_font_size (reference
+utils.py:135-169, 273-335) onto a unit-cell metric; these tests pin the
+reference-shaped contracts (None on overlong words, line offsets with
+spacing, bounds, memo cache) and assert the Python kernel, the Spark SQL
+fold and the DuckDB recursive-CTE twin produce identical lines.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from manga_translator_spark.functions.wrap import (
+    WidthCache,
+    fit_wrap_width,
+    wrap_fold_spark,
+    wrap_lines,
+    wrap_sql_duck,
+    wrap_text_pure,
+    words_expr_spark,
+)
+
+
+def test_wrap_reference_contracts():
+    # greedy fill at width 8 (hand-checked against utils.py:135-169)
+    assert wrap_lines("hello world a b ccc", 8) == ["hello", "world a", "b ccc"]
+    # word wider than the wrap => None (the font-retry contract)
+    assert wrap_lines("superlong xx", 8) is None
+    assert wrap_lines("", 8) == [""]
+    assert wrap_lines("   \t\n ", 8) == [""]
+    assert wrap_lines("one", 8) == ["one"]
+    # infinite width: everything on one line (wrap_text default)
+    assert wrap_lines("a b c d e", float("inf")) == ["a b c d e"]
+    # offsets/bounds shape: line offsets step by height+line_spacing
+    res = wrap_text_pure("hello world a b ccc", 8, line_spacing=2)
+    assert [ln.offset for ln in res.lines] == [0, 3, 6]
+    assert all(ln.height == 1 for ln in res.lines)
+    assert res.bounds == (8, 7)  # x clamps at the wrap width; y = last offset + height
+
+
+def test_width_cache_memoizes():
+    cache = WidthCache()
+    wrap_text_pure("aa bb aa aa bb", 10, cache=cache)
+    assert set(cache.cache) == {"aa", "bb"} and cache.cache["aa"] == 2
+
+
+def test_fit_wrap_width_bisection():
+    text = "word " * 20  # 20 words of width 4
+    w, lines = fit_wrap_width(text, max_lines=4, min_width=5, max_width=60)
+    assert len(lines) <= 4
+    # the found width is locally minimal: a meaningfully narrower wrap overflows
+    narrower = wrap_lines(text, w - 8)
+    assert narrower is None or len(narrower) > 4
+    # impossible budget at max_width => None
+    assert fit_wrap_width("x " * 500, max_lines=1, min_width=5, max_width=20) is None
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(alphabet="ab c\t\n.", max_size=60),
+    st.integers(min_value=1, max_value=12),
+)
+def test_wrap_total_and_lines_fit(s, w):
+    lines = wrap_lines(s, w)
+    if lines is None:
+        assert any(len(word) > w for word in s.split())
+    else:
+        assert "\n".join(lines).split() == s.split()  # no word lost/reordered
+        for ln in lines[:-1] if len(lines) > 1 else lines:
+            assert len(ln) <= w or " " not in ln
+
+
+def _expected(texts, width):
+    out = []
+    for t in texts:
+        lines = wrap_lines(t, width)
+        out.append(
+            (None, None, 0) if lines is None else ("\n".join(lines), len(lines), 1)
+        )
+    return out
+
+
+def test_three_way_engine_equality(spark):
+    texts = [
+        "hello world a b ccc",
+        "",
+        "   ",
+        "one",
+        "superlongwordhere xx",
+        "a\tb\nc  d",
+        "x " * 50,
+        "word " * 123,
+        "mixed width words of unequal size spread over several lines nicely",
+    ]
+    width = 8
+    exp = _expected(texts, width)
+    # Spark fold
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    fold = wrap_fold_spark(words_expr_spark("text"), width)
+    got_spark = {
+        r["doc_id"]: (r["w"]["wrapped"], r["w"]["n_lines"])
+        for r in df.selectExpr("doc_id", f"({fold}) AS w").collect()
+    }
+    # DuckDB recursive CTE
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got_duck = {
+        r[0]: (r[2], r[1], r[3])
+        for r in con.sql(wrap_sql_duck("documents", width)).fetchall()
+    }
+    for i, (w_exp, n_exp, fits) in enumerate(exp):
+        assert got_spark[i] == (w_exp, n_exp), f"spark row {i}"
+        assert got_duck[i] == (w_exp, n_exp, fits), f"duck row {i}"
+
+
+def test_with_wrapped_lines_matches_kernel(spark, pages_df, golden):
+    """The assemble feature's per-span lines equal the kernel wrap of each
+    golden span's text (goldens-backed, byte-identical)."""
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.operators.assemble import with_wrapped_lines
+    from manga_translator_spark.plans.pipeline import PipelineConfig, extract
+
+    width = 18
+    out = with_wrapped_lines(extract(pages_df, PipelineConfig()), width).collect()
+    n_spans = 0
+    for r in out:
+        g = golden[r["url"]]
+        assert len(r["lines"]) == len(g.spans)
+        for entry, (block_idx, start, end) in zip(r["lines"], g.spans):
+            span_text = g.extracted_text[start:end]
+            exp = wrap_lines(span_text, width)
+            got = None if entry["lines"] is None else list(entry["lines"])
+            assert got == exp and entry["block_idx"] == block_idx, (r["url"], block_idx)
+            n_spans += 1
+    assert n_spans > 100
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
