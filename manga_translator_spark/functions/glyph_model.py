@@ -148,6 +148,41 @@ def decode_png_gray(payload: bytes | None) -> np.ndarray | None:
     return rows[:, 1:].copy()
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as the grayscale PNG layout this module
+    decodes (8-bit gray, filter-0 rows) — the inverse of
+    :func:`decode_png_gray`, shared by corpus rendering and the pixel
+    operators (multimodal resize)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    height, width = arr.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + row.tobytes() for row in arr)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_gray(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of a 2-D grayscale array — real pixel
+    math (index-map gather), no imaging library needed."""
+    h, w = pixels.shape
+    ys = np.minimum((np.arange(height) * (h / height)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(width) * (w / width)).astype(np.int64), w - 1)
+    return pixels[np.ix_(ys, xs)]
+
+
 class GlyphRecognizer:
     """Fixed-weight linear glyph classifier over committed .npz weights."""
 
