@@ -348,6 +348,10 @@ def _q_doc_wrap_lines(spark, sf):
     return text_analysis.wrap_lines(_t(spark, sf, "documents"))
 
 
+def _q_doc_bpe_tokens(spark, sf):
+    return text_analysis.bpe_token_stats(_t(spark, sf, "documents"))
+
+
 def _q_training_corpus(spark, sf):
     from manga_translator_spark.operators.training import training_corpus
 
@@ -457,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "gopher_quality": _q_gopher_quality,
         "doc_wrap_lines": _q_doc_wrap_lines,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -869,6 +874,15 @@ def oracle_sql() -> dict[str, str]:
     from manga_translator_spark.functions.wrap import wrap_sql_duck
 
     sql["doc_wrap_lines"] = wrap_sql_duck("documents", ta.WRAP_WIDTH)
+
+    # DuckDB string literals keep backslashes raw; only quotes need doubling
+    bpe_pat = ta.BPE_PRETOKEN_RE.replace("'", "''")
+    sql["doc_bpe_tokens"] = f"""
+      SELECT doc_id, len(toks) AS n_bpe_tokens,
+             md5(coalesce(array_to_string(toks, chr(31)), '')) AS bpe_fp
+      FROM (SELECT doc_id, regexp_extract_all(text, '{bpe_pat}') AS toks
+            FROM documents)
+    """
 
     sql["training_corpus"] = f"""
       WITH RECURSIVE gq AS ({_gopher_select('documents')}),

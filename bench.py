@@ -46,6 +46,8 @@ QUERY_NAMES = (
     "lsh_candidate_pairs",
     "simhash",
     "winnow_fingerprint",
+    "doc_wrap_lines",
+    "doc_bpe_tokens",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",

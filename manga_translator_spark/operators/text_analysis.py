@@ -210,3 +210,37 @@ def wrap_lines(docs: "DataFrame", width: int = WRAP_WIDTH) -> "DataFrame":
         F.col("w.wrapped").alias("wrapped"),
         F.expr("CAST(w.wrapped IS NOT NULL AS INT)").alias("fits"),
     )
+
+
+# BPE-style pretokenizer (GPT-2-family shape: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then
+# whitespace runs).  Explicit ASCII whitespace class so Java regex (Spark)
+# and RE2 (DuckDB) match identically; both engines use leftmost-first
+# alternation.  "BPE-ish": the merge table is not modeled — this is the
+# pretokenization that bounds BPE token counts.
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
+    "|[ \\t\\n\\x0B\\f\\r]+"
+)
+
+
+def bpe_token_stats(docs: "DataFrame") -> "DataFrame":
+    """BPE-pretokenizer token counting per document.
+
+    Emits the match count and an md5 fingerprint of the full token
+    sequence (unit-separator-joined) — the fingerprint makes the DuckDB
+    twin prove the *sequences* are identical, not just the counts.  Pure
+    codegen, zero shuffle.
+    """
+    toks = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    return spread(docs).select(
+        "doc_id",
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.md5(F.array_join("toks", "\x1f")).alias("bpe_fp"),
+    )
