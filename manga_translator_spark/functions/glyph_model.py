@@ -194,23 +194,26 @@ class GlyphRecognizer:
         if self.weights.shape != (GLYPH_H * GLYPH_W, len(self.chars)):
             raise ValueError("glyph weight shape mismatch")
         self.matmul_calls = 0  # instrumentation: one per shape group
+        # pixels arrive 0/255: fold the /255 normalization into the weight
+        # matrix once at load (scores are identical: (x/255)@W == x@(W/255))
+        self._weights255 = (self.weights / 255.0).astype(np.float32)
+        self._char_arr = np.array(self.chars, dtype="<U1")  # vectorized idx->char
 
     def _infer_stack(self, stack: np.ndarray) -> list[str]:
-        """(B, 8, W) float -> B decoded strings via ONE matmul + argmax.
+        """(B, 8, W) uint8 -> B decoded strings via ONE matmul + argmax.
         The onnxruntime drop-in point: session.run on the same tensor."""
         b, h, w = stack.shape
         n = w // GLYPH_W
-        # (B, 8, n, 8) -> (B, n, 8, 8) -> (B*n, 64)
-        x = (
-            stack.reshape(b, h, n, GLYPH_W)
-            .transpose(0, 2, 1, 3)
-            .reshape(b * n, h * GLYPH_W)
-            .astype(np.float32)
-        )
-        scores = x @ self.weights + self.bias  # (B*n, n_classes)
+        # (B, 8, n, 8) -> (B, n, 8, 8) -> (B*n, 64); one float32 copy total
+        x = np.ascontiguousarray(
+            stack.reshape(b, h, n, GLYPH_W).transpose(0, 2, 1, 3), dtype=np.float32
+        ).reshape(b * n, h * GLYPH_W)
+        scores = x @ self._weights255 + self.bias  # (B*n, n_classes)
         self.matmul_calls += 1
         idx = np.argmax(scores, axis=1).reshape(b, n)
-        return ["".join(self.chars[i] for i in row) for row in idx]
+        # vectorized string assembly: (B, n) of U1 chars viewed as B U{n}
+        chars2d = np.ascontiguousarray(self._char_arr[idx])
+        return chars2d.view(f"<U{n}").ravel().tolist()
 
     def infer_arrays(self, images: list[np.ndarray | None]) -> list[str | None]:
         """Batched inference with same-shape grouping (lama.py:120 TODO):
@@ -223,7 +226,11 @@ class GlyphRecognizer:
                 continue
             groups.setdefault(img.shape, []).append(i)
         for shape, idxs in groups.items():
-            stack = np.stack([images[i] / 255.0 for i in idxs])
+            if shape[1] == 0:
+                for i in idxs:
+                    out[i] = ""
+                continue
+            stack = np.stack([images[i] for i in idxs])
             for i, text in zip(idxs, self._infer_stack(stack)):
                 out[i] = text
         return out
