@@ -333,7 +333,11 @@ def ann_ivf_topk(
     as cosine_topk.  Recall < 1 by design; the hyperplane-LSH family above
     is the recall-multiplying alternative.
     """
-    ranked = _ivf_ranked(embeddings, n_cells)
+    # the ranked centroid table is consumed by BOTH the assignment side and
+    # the probe side: checkpoint it so the n_cells cosine scans run once
+    # (the single-job analogue of materializing the IVF index table, which
+    # is exactly what a 100 TB deployment does between build and query)
+    ranked = _ivf_ranked(embeddings, n_cells).localCheckpoint(eager=False)
     assigned = _with_norm(
         ranked.filter(F.col("rn") == 1).select("vec_id", "cell").join(embeddings, "vec_id"),
         "embedding",
@@ -386,8 +390,12 @@ def ann_topk_in_bucket(
     """ANN: neighbors restricted to the query's (banded, capped) LSH
     buckets, then exact cosine over the bounded candidate set.  Recall < 1
     by design; the scale win is that the join key is the band bucket and
-    every bucket's contribution is capped."""
-    bands = lsh_band_buckets(embeddings, n_planes, n_bands)
+    every bucket's contribution is capped.
+
+    The banded signature table feeds BOTH the member side and the query
+    side — checkpointed so the interpreted n_planes-dot signature pass
+    runs once (materialized-LSH-index analogue)."""
+    bands = lsh_band_buckets(embeddings, n_planes, n_bands).localCheckpoint(eager=False)
     capped = (
         bands.groupBy("band_idx", "bucket")
         .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
