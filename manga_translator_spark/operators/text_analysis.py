@@ -244,3 +244,31 @@ def bpe_token_stats(docs: "DataFrame") -> "DataFrame":
         F.size("toks").alias("n_bpe_tokens"),
         F.md5(F.array_join("toks", "\x1f")).alias("bpe_fp"),
     )
+
+
+def gopher_keep_condition(text_col: str = "text") -> "F.Column":
+    """The Gopher keep verdict as ONE boolean column over ``text_col`` —
+    the filter-pushdown form of :func:`gopher_quality` (same constants,
+    same integer comparisons; equality is tested against it).  Being a
+    single narrow expression it is legal in streaming append mode and
+    composes as extract -> filter with zero state.
+
+    The token array is let-bound via the single-element ``transform``
+    idiom (texthash.py rule) so tokenization runs once, not per rule.
+    """
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    arr = ", ".join(f"'{w}'" for w in all_stops)
+    sym = f"length({text_col}) - length(regexp_replace({text_col}, '[#…]', ''))"
+    body = (
+        f"size(tokens) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        " AND (CASE WHEN size(tokens) = 0 THEN FALSE ELSE"
+        " aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        f" BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} * size(tokens)"
+        f" AND {GOPHER_MAX_MEAN_WORD_LEN} * size(tokens) END)"
+        f" AND 100 * ({sym}) <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * greatest(size(tokens), 1)"
+        f" AND size(filter(tokens, t -> array_contains(array({arr}), t)))"
+        f" >= {GOPHER_MIN_STOPWORD_HITS}"
+    )
+    return F.expr(
+        f"element_at(transform(array({tokens_spark(text_col)}), tokens -> {body}), 1)"
+    )

@@ -157,3 +157,43 @@ def run_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_pages_stream(
+    pages_stream: "DataFrame", watermark: str = "30 minutes"
+) -> "DataFrame":
+    """Streaming exact dedup: keep the first page per html digest seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The state-store key is the 16-byte md5 digest, not the page — the same
+    shuffle-the-digest design as the batch ``dedup_exact`` — and the
+    watermark bounds state: a crawl's re-fetches cluster in time, so keys
+    older than the horizon are evicted instead of accumulating forever
+    (the property that keeps this runnable on an unbounded stream).
+    Append-mode legal; emits the page columns unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .withColumn("digest", F.md5(F.col("html")))
+        .dropDuplicatesWithinWatermark(["digest"])
+        .drop("digest")
+    )
+
+
+def quality_extract_stream(
+    pages_stream: "DataFrame", config: PipelineConfig | None = None
+) -> "DataFrame":
+    """Streaming extraction gated by the Gopher quality rule: extract ->
+    filter(gopher_keep_condition(extracted_text)).
+
+    Both stages are narrow (fused UDF + one codegen predicate), so the
+    composed plan stays append-mode legal with zero state — the in-flight
+    form of the batch ``training_corpus`` quality gate.
+    """
+    from manga_translator_spark.operators.text_analysis import gopher_keep_condition
+
+    return extract_stream(pages_stream, config).filter(
+        gopher_keep_condition("extracted_text")
+    )

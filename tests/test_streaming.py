@@ -139,3 +139,123 @@ def test_foreach_batch_sink(spark, pages_path, golden, tmp_path):
     assert got.count() == len(golden)
     sample = {r["url"]: r["extracted_text"] for r in got.limit(50).collect()}
     assert all(golden[u].extracted_text == t for u, t in sample.items())
+
+
+def test_streaming_dedup_within_watermark(spark, corpus_rows, tmp_path):
+    """Duplicated pages (same html bytes, distinct urls) collapse to one
+    row per digest; uniques all survive.  Exactly the batch dedup_exact
+    grouping, expressed as bounded streaming state."""
+    import datetime as dt
+
+    from manga_translator_spark.streaming.extract_stream import dedup_pages_stream
+
+    base = list(corpus_rows[:40])
+    dupes = []
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    for i, row in enumerate(base[:10]):  # 10 re-fetches of the first 10 pages
+        d = dict(row)
+        d["url"] = row["url"] + "?refetch"
+        d["warc_ts"] = t0
+        dupes.append(d)
+    df = spark.createDataFrame(pd.DataFrame(base + dupes), schema=PAGES_SCHEMA)
+    path = str(tmp_path / "dup_pages")
+    df.repartition(4).write.parquet(path)
+
+    out = dedup_pages_stream(read_pages_stream(spark, path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from dedup_mem").collect()
+    n_unique_html = len({bytes(r["html"]) for r in base})
+    assert len(rows) == n_unique_html
+    assert len({bytes(r["html"]) for r in rows}) == n_unique_html
+
+
+def test_quality_extract_stream_matches_batch_gate(spark, tmp_path):
+    """The streaming quality gate keeps exactly the pages the batch
+    pipeline + gopher_keep_condition keeps (the corpus word lists contain
+    no stopwords, so this fixture synthesizes pages that straddle the
+    gate: quality prose with stopwords, a too-short page, a symbol-heavy
+    page)."""
+    from manga_translator_spark.operators.text_analysis import gopher_keep_condition
+    from manga_translator_spark.plans.pipeline import extract
+    from manga_translator_spark.streaming.extract_stream import quality_extract_stream
+
+    quality = (
+        "The archive of the harbor is a record that was kept for the town "
+        "and it is read with care in the winter when the tide is low."
+    )
+    rows = [
+        {"url": "q://good", "text": quality},
+        {"url": "q://short", "text": "the end"},  # fails word-count rule
+        {"url": "q://symbols", "text": ("the # " * 40).strip()},  # symbol rule
+        {"url": "q://nostops", "text": "archive beacon cadence drift " * 10},
+    ]
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    pages = pd.DataFrame(
+        {
+            "url": [r["url"] for r in rows],
+            "warc_ts": [t0] * len(rows),
+            "html": [
+                f"<html><body><article><p>{r['text']}</p></article></body></html>".encode()
+                for r in rows
+            ],
+            "text": [r["text"] for r in rows],
+            "lang": ["en"] * len(rows),
+        }
+    )
+    df = spark.createDataFrame(pages, schema=PAGES_SCHEMA)
+    path = str(tmp_path / "q_pages")
+    df.write.parquet(path)
+
+    out = quality_extract_stream(read_pages_stream(spark, path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qext_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_urls = {r["url"] for r in spark.sql("select url from qext_mem").collect()}
+    batch_kept = {
+        r["url"]
+        for r in extract(df)
+        .filter(gopher_keep_condition("extracted_text"))
+        .select("url")
+        .collect()
+    }
+    assert got_urls == batch_kept == {"q://good"}
+
+
+def test_gopher_keep_condition_equals_gopher_quality(spark, corpus_rows):
+    """The single-expression keep condition and the flag-table operator
+    agree row-for-row on the same text (shared constants, same rules)."""
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.operators.text_analysis import (
+        gopher_keep_condition,
+        gopher_quality,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(len(corpus_rows)),
+                "text": [r["text"] for r in corpus_rows],
+            }
+        )
+    )
+    flags = {r["doc_id"]: r["keep"] for r in gopher_quality(docs).collect()}
+    conds = {
+        r["doc_id"]: int(r["k"])
+        for r in docs.select("doc_id", gopher_keep_condition("text").alias("k")).collect()
+    }
+    assert flags == conds
