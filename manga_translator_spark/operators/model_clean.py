@@ -12,9 +12,11 @@ leaves the JVM.
 
 Physical shape == operators/recognize.py: explode the patch rows, one
 vectorized model call per Arrow batch, model as a per-worker singleton,
-group back by key.  The model here is a deterministic heuristic STUB
-(sandbox has no ONNX runtime — functions/recognize_kernel.py documents the
-drop-in point); the batching/schema/join plumbing is the real design.
+group back by key.  The model is a REAL fixed-weight numpy network
+(functions/verdict_model.py: featurize -> one matmul + argmax per Arrow
+batch over committed .npz weights, per-worker singleton like reference
+cleaning/lama.py:51); a plain-predicate fallback covers the no-numpy
+case.  An ONNX model drops in at PatchVerdictNet.infer.
 """
 
 from __future__ import annotations
@@ -37,8 +39,6 @@ if TYPE_CHECKING:
 GRAY_LO = 0.5
 
 _OUT = "url string, block_idx int, keep boolean, text string"
-
-_MODEL = None
 
 # separator/chrome characters that furniture runs are made of
 _FURNITURE_CHARS = frozenset(" |·•-–—»«><:/")
@@ -63,19 +63,25 @@ def usable_span(text: str) -> tuple[int, int]:
 
 
 def _model_call(texts: list[str], scores: list[float]) -> list[tuple[bool, str]]:
-    """STUB model: slice each patch to its usable interior span, then keep
-    gray-zone blocks that end in sentence punctuation and exceed 60 chars.
-    Replace body with an onnxruntime session.run over tokenized batches for
-    a real model (loaded once per worker — reference lama.py:51)."""
-    global _MODEL
-    if _MODEL is None:
-        _MODEL = True  # stand-in for session load
-    out = []
-    for t, s in zip(texts, scores):
+    """Patch extraction + batched verdict inference.
+
+    Trim each patch to its usable interior span (the T11 patch-extraction
+    step — reference extract_patches, lama.py:77-116), then run ONE
+    matmul+argmax over the whole batch's feature tensor through the
+    per-worker verdict network (functions/verdict_model.py — the
+    clean_patches analogue, lama.py:118-142).  Falls back to the plain
+    predicate if numpy is unavailable."""
+    trimmed = []
+    for t in texts:
         lo, hi = usable_span(t)
-        t2 = t[lo:hi]
-        out.append((len(t2) >= 60 and t2.endswith((".", "!", "?")), t2))
-    return out
+        trimmed.append(t[lo:hi])
+    from manga_translator_spark.functions import verdict_model as vm
+
+    if vm.np is None:  # pragma: no cover — numpy is baked into the sandbox
+        keeps = [vm.rule_keep(t) for t in trimmed]
+    else:
+        keeps = vm.get_verdict_model().infer(trimmed).tolist()
+    return list(zip(keeps, trimmed))
 
 
 def repair_candidates(classified: "DataFrame") -> "DataFrame":
