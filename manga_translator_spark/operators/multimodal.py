@@ -9,14 +9,15 @@ pipelines/image_to_image.py:61-71), so these operators compose directly
 after ``detect``/``classify``.
 
 What is REAL here: the Spark-side plumbing — schemas, explode shape,
-Arrow batch handling, per-worker kernel reuse — plus an actual PNG
-container decode (IHDR header fields from the real byte layout).  What is
-STUBBED (this sandbox ships no imaging/audio/video libraries): pixel
-decode, resampling, and frame extraction — ``resize_images`` and
-``sample_frames`` raise ``NotImplementedError`` documenting the exact
-drop-in (Pillow/opencv/pyav call per Arrow batch), and the feature
-extractor is a clearly-marked deterministic fake (md5-seeded vector) whose
-replacement is one ``session.run`` per batch.
+Arrow batch handling, per-worker kernel reuse — plus, for the engine's
+grayscale PNG layout, the full pixel path: container decode (IHDR),
+pixel decode (zlib inflate + unfilter), resampling (``resize_images``),
+and feature extraction (``with_media_embedding``: decode -> canonical
+resample -> one fixed-weight projection matmul per Arrow batch,
+functions/media_embed.py).  What remains sandbox-gated (no
+imaging/audio/video libraries here): color formats beyond the grayscale
+layout (Pillow behind import-try) and video frame extraction
+(``sample_frames`` — full pyav kernel behind import-try).
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ META_SCHEMA = (
     "width int, height int, bit_depth int, color_type int"
 )
 
-EMBED_DIM = 16
+from manga_translator_spark.functions.media_embed import EMBED_DIM  # noqa: E402
+
 EMBED_SCHEMA = "url string, block_idx int, embedding array<float>"
 
 
@@ -107,12 +109,11 @@ def with_media_meta(media: "DataFrame") -> "DataFrame":
 
 
 def fake_embed_kernel(payload: bytes | None, dim: int = EMBED_DIM) -> list[float]:
-    """DETERMINISTIC FAKE feature extractor (no imaging libs in sandbox):
-    md5 of the bytes expanded to ``dim`` floats in [-1, 1).  A real model
-    replaces this with one batched forward pass per Arrow chunk (singleton
-    session per worker, recognize.py pattern) — the schema, batch shape and
-    downstream similarity operators (operators/similarity.py) are unchanged.
-    """
+    """Content-hash featurizer for NON-DECODABLE bytes only: md5 of the
+    payload expanded to ``dim`` floats in [-1, 1).  Decodable images take
+    the real pixel path (``media_embed_batch``); this keeps the embedding
+    column total over arbitrary binary payloads (a content fingerprint is
+    the honest feature for bytes no decoder claims)."""
     if not payload:
         return [0.0] * dim
     vals: list[float] = []
@@ -125,9 +126,34 @@ def fake_embed_kernel(payload: bytes | None, dim: int = EMBED_DIM) -> list[float
     return vals[:dim]
 
 
-def with_media_embedding(media: "DataFrame", dim: int = EMBED_DIM) -> "DataFrame":
+def media_embed_batch(payloads: list[bytes | None]) -> list[list[float]]:
+    """One Arrow chunk of payloads -> embeddings, REAL pixel path first.
+
+    Decodable PNGs: real pixel decode -> canonical resample -> ONE
+    projection matmul for the whole batch through the per-worker
+    fixed-weight extractor (functions/media_embed.py).  Non-decodable
+    bytes fall back to the content-hash featurizer; empty/None -> zeros.
+    Shared by the Spark stage and tests (byte-identity discipline)."""
+    from manga_translator_spark.functions.glyph_model import decode_png_gray
+    from manga_translator_spark.functions.media_embed import get_media_embedder
+
+    images = [decode_png_gray(p) for p in payloads]
+    real = get_media_embedder().embed_arrays(images)
+    out: list[list[float]] = []
+    for payload, vec in zip(payloads, real):
+        if vec is not None:
+            out.append(vec)
+        elif not payload:
+            out.append([0.0] * EMBED_DIM)
+        else:
+            out.append(fake_embed_kernel(payload))
+    return out
+
+
+def with_media_embedding(media: "DataFrame") -> "DataFrame":
     """(url, block_idx, payload) -> fixed-dim media embedding column,
-    feeding the ANN/near-dup operators directly."""
+    feeding the ANN/near-dup operators directly (L2-normalized for the
+    decodable rows, so cosine == dot product downstream)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,7 +161,7 @@ def with_media_embedding(media: "DataFrame", dim: int = EMBED_DIM) -> "DataFrame
                 {
                     "url": pdf["url"],
                     "block_idx": pdf["block_idx"],
-                    "embedding": [fake_embed_kernel(p, dim) for p in pdf["payload"]],
+                    "embedding": media_embed_batch(list(pdf["payload"])),
                 }
             )
 

@@ -11,6 +11,7 @@ from manga_translator_spark.operators.multimodal import (
     EMBED_DIM,
     fake_embed_kernel,
     media_blocks,
+    media_embed_batch,
     png_meta,
     resize_images,
     sample_frames,
@@ -60,7 +61,7 @@ def test_media_embedding_deterministic_and_feeds_similarity(pages_df, spark):
     sample = media_blocks(classified).limit(3).collect()
     got = {(r["url"], r["block_idx"]): r["embedding"] for r in rows}
     for s in sample:
-        local = fake_embed_kernel(s["payload"])
+        local = media_embed_batch([s["payload"]])[0]
         spark_vec = got[(s["url"], s["block_idx"])]
         assert [round(float(v), 5) for v in spark_vec] == [round(v, 5) for v in local]
     # the embedding column slots into the similarity operators unchanged —
@@ -124,3 +125,52 @@ def test_sample_frames_is_guarded_real_impl(pages_df):
     assert not multimodal.HAVE_AV
     with pytest.raises(NotImplementedError):
         sample_frames(media)
+
+
+def test_media_embed_real_pixel_semantics():
+    """Decodable PNGs take the REAL path: decode -> canonical resample ->
+    one projection matmul per batch.  Pixel-identical payloads embed
+    identically; different pixels embed differently; vectors are
+    L2-normalized; non-decodable bytes fall back to the hash featurizer;
+    empty payloads embed to zeros."""
+    import numpy as np
+
+    from manga_translator_spark.corpus import make_png
+    from manga_translator_spark.functions import media_embed as me
+
+    a, b = make_png("same text"), make_png("other words")
+    vecs = media_embed_batch([a, a, b, b"\x01\x02junk", None])
+    assert all(len(v) == EMBED_DIM for v in vecs)
+    assert vecs[0] == vecs[1]  # pixel-identical -> identical embedding
+    assert vecs[0] != vecs[2]
+    for v in vecs[:3]:
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5  # unit norm
+    assert vecs[3] == fake_embed_kernel(b"\x01\x02junk")  # fallback path
+    assert vecs[4] == [0.0] * EMBED_DIM
+
+    # batching: the whole decodable set goes through ONE matmul
+    net = me.MediaEmbedder()
+    from manga_translator_spark.functions.glyph_model import decode_png_gray
+
+    imgs = [decode_png_gray(p) for p in (a, b, make_png("third"))]
+    net.embed_arrays(imgs)
+    assert net.matmul_calls == 1
+
+    # heterogeneous shapes canonicalize into the same batch (wide strip
+    # resamples to the 8x32 grid rather than forming its own group)
+    wide = decode_png_gray(make_png("a much longer string of text here"))
+    net2 = me.MediaEmbedder()
+    out = net2.embed_arrays([imgs[0], wide])
+    assert net2.matmul_calls == 1 and all(v is not None for v in out)
+
+
+def test_media_embedder_singleton_loads_once():
+    from manga_translator_spark.functions import media_embed as me
+
+    me._MODEL = None
+    me.LOAD_COUNT = 0
+    a = me.get_media_embedder()
+    b = me.get_media_embedder()
+    assert a is b and me.LOAD_COUNT == 1
+    built = __import__("numpy").array_equal(a.proj, me.build_weights()["proj"])
+    assert built  # committed artifact == closed-form derivation
