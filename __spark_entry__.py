@@ -352,6 +352,10 @@ def _q_doc_bpe_tokens(spark, sf):
     return text_analysis.bpe_token_stats(_t(spark, sf, "documents"))
 
 
+def _q_doc_repetition(spark, sf):
+    return text_analysis.repetition_stats(_t(spark, sf, "documents"))
+
+
 def _q_training_corpus(spark, sf):
     from manga_translator_spark.operators.training import training_corpus
 
@@ -462,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "doc_wrap_lines": _q_doc_wrap_lines,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_repetition": _q_doc_repetition,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -882,6 +887,47 @@ def oracle_sql() -> dict[str, str]:
              md5(coalesce(array_to_string(toks, chr(31)), '')) AS bpe_fp
       FROM (SELECT doc_id, regexp_extract_all(text, '{bpe_pat}') AS toks
             FROM documents)
+    """
+
+    # Gopher repetition twin: same integer-ppm arithmetic (count * 1e6
+    # integer-DIV total — no float column anywhere); the Spark side folds
+    # the top-bigram run shuffle-free, the oracle counts it relationally
+    # (unnest + group by) — same values, engine-idiomatic plans.
+    sql["doc_repetition"] = f"""
+      WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+      grams AS (
+        SELECT doc_id, len(tokens) AS n_tokens,
+          CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len(tokens) - 1),
+                                   i -> tokens[i] || ' ' || tokens[i+1]) END AS bg,
+          CASE WHEN len(tokens) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len(tokens) - 2),
+                    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) END AS tg
+        FROM toks),
+      top AS (
+        SELECT doc_id, max(cnt) AS top_cnt FROM (
+           SELECT doc_id, b, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(bg) AS b FROM grams) GROUP BY doc_id, b)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_bigrams, dup_bigram_ppm, top_bigram_ppm,
+             dup_trigram_ppm,
+             CASE WHEN dup_bigram_ppm <= {ta.REP_MAX_DUP_BIGRAM_PPM}
+                   AND top_bigram_ppm <= {ta.REP_MAX_TOP_BIGRAM_PPM}
+                  THEN 1 ELSE 0 END AS rep_keep
+      FROM (
+        SELECT g.doc_id AS doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(len(bg) AS INT) AS n_bigrams,
+          CAST(CASE WHEN len(bg) = 0 THEN 0
+               ELSE ((len(bg) - len(list_distinct(bg))) * 1000000) // len(bg)
+               END AS BIGINT) AS dup_bigram_ppm,
+          CAST(CASE WHEN len(bg) = 0 THEN 0
+               ELSE (coalesce(top_cnt, 0) * 1000000) // len(bg)
+               END AS BIGINT) AS top_bigram_ppm,
+          CAST(CASE WHEN len(tg) = 0 THEN 0
+               ELSE ((len(tg) - len(list_distinct(tg))) * 1000000) // len(tg)
+               END AS BIGINT) AS dup_trigram_ppm
+        FROM grams g LEFT JOIN top ON g.doc_id = top.doc_id
+      )
     """
 
     sql["training_corpus"] = f"""

@@ -48,6 +48,7 @@ QUERY_NAMES = (
     "winnow_fingerprint",
     "doc_wrap_lines",
     "doc_bpe_tokens",
+    "doc_repetition",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",

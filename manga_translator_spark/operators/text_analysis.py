@@ -272,3 +272,91 @@ def gopher_keep_condition(text_col: str = "text") -> "F.Column":
     return F.expr(
         f"element_at(transform(array({tokens_spark(text_col)}), tokens -> {body}), 1)"
     )
+
+
+# Gopher repetition rules (Rae et al. 2021 §A1.1): heavily repetitious
+# documents are low-quality training data.  Signals here are token-n-gram
+# based (the corpus documents are flat word streams — no line structure):
+# duplicate-bigram / duplicate-trigram fraction and the fraction of
+# bigrams claimed by the single most frequent bigram.  All outputs are
+# integer ppm via pure integer arithmetic (count * 1_000_000 DIV total) —
+# no float column anywhere, so the DuckDB twin agrees bit-for-bit (the
+# doc_quality lesson, CLAUDE.md invariants).
+REP_MAX_DUP_BIGRAM_PPM = 900_000
+REP_MAX_TOP_BIGRAM_PPM = 80_000
+
+
+def _ngrams_spark(tks: str, n: int) -> str:
+    """Adjacent word n-grams of the bound token array ``tks`` (space-
+    joined); empty array when the doc is shorter than ``n`` tokens."""
+    joined = ", ' ', ".join(f"element_at({tks}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({tks}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size({tks}) - {n - 1}), "
+        f"i -> concat({joined})) END"
+    )
+
+
+# Longest equal-run over a sorted array == max occurrence count of any
+# element: one interpreted linear fold per row (bounded by doc length),
+# ZERO shuffle — the 100 TB alternative to explode -> groupBy -> max,
+# which would shuffle every bigram of every document.
+_TOP_RUN_FOLD = """aggregate(sort_array({arr}),
+  named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+  (a, x) -> named_struct(
+    'prev', x,
+    'run', CASE WHEN x = a.prev THEN a.run + 1 ELSE CAST(1 AS BIGINT) END,
+    'best', greatest(a.best,
+            CASE WHEN x = a.prev THEN a.run + 1 ELSE CAST(1 AS BIGINT) END)),
+  a -> a.best)"""
+
+
+def repetition_stats(docs: "DataFrame") -> "DataFrame":
+    """Per-doc repetition signals + keep verdict, integer ppm throughout.
+
+    Columns: n_tokens, n_bigrams, dup_bigram_ppm (repeated-bigram
+    fraction), top_bigram_ppm (share of the most frequent bigram),
+    dup_trigram_ppm, rep_keep (1 iff both thresholds hold).  Single
+    projection, nested let-bindings (texthash.py idiom) so tokens /
+    bigrams / trigrams each evaluate once per row.
+    """
+    dup = (
+        "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST((size({a}) - size(array_distinct({a}))) AS BIGINT) * 1000000 DIV size({a}) END"
+    )
+    top = (
+        "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        + _TOP_RUN_FOLD.format(arr="{a}")
+        + " * 1000000 DIV size({a}) END"
+    )
+    body = (
+        "element_at(transform(array(" + _ngrams_spark("tks", 2) + "), bg -> "
+        "element_at(transform(array(" + _ngrams_spark("tks", 3) + "), tg -> "
+        "named_struct("
+        "'n_tokens', size(tks), "
+        "'n_bigrams', size(bg), "
+        f"'dup_bigram_ppm', {dup.format(a='bg')}, "
+        f"'top_bigram_ppm', {top.format(a='bg')}, "
+        f"'dup_trigram_ppm', {dup.format(a='tg')}"
+        ")), 1)), 1)"
+    )
+    stats = f"element_at(transform(array({tokens_spark('text')}), tks -> {body}), 1)"
+    return (
+        spread(docs)
+        .select("doc_id", F.expr(stats).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.n_bigrams").alias("n_bigrams"),
+            F.col("s.dup_bigram_ppm").alias("dup_bigram_ppm"),
+            F.col("s.top_bigram_ppm").alias("top_bigram_ppm"),
+            F.col("s.dup_trigram_ppm").alias("dup_trigram_ppm"),
+        )
+        .withColumn(
+            "rep_keep",
+            F.expr(
+                f"CAST(dup_bigram_ppm <= {REP_MAX_DUP_BIGRAM_PPM} "
+                f"AND top_bigram_ppm <= {REP_MAX_TOP_BIGRAM_PPM} AS INT)"
+            ),
+        )
+    )

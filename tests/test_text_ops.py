@@ -50,6 +50,73 @@ def test_bpe_pretokenizer_engine_parity(spark):
     assert toks[:4] == ["can", "'t", " won", "'t"]
 
 
+
+
+def test_repetition_stats_hand_cases(spark):
+    """Integer-ppm repetition signals on hand-computed documents."""
+    from manga_translator_spark.operators import text_analysis as ta
+
+    texts = [
+        "",                                   # 0: empty
+        "single",                             # 1: no bigrams
+        "spam spam spam spam spam",           # 2: one bigram repeated 4x
+        "a b c d e",                          # 3: all distinct
+        "x y x y x y",                        # 4: alternating
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r["doc_id"]: r.asDict() for r in ta.repetition_stats(docs).collect()}
+
+    assert got[0]["n_bigrams"] == 0 and got[0]["dup_bigram_ppm"] == 0
+    assert got[0]["top_bigram_ppm"] == 0 and got[0]["rep_keep"] == 1
+    assert got[1]["n_bigrams"] == 0 and got[1]["dup_trigram_ppm"] == 0
+    # doc 2: bigrams = ['spam spam'] * 4 -> dup 3/4, top 4/4, trigrams 3/3 dup 2/3
+    assert got[2]["n_bigrams"] == 4
+    assert got[2]["dup_bigram_ppm"] == 750000
+    assert got[2]["top_bigram_ppm"] == 1000000
+    assert got[2]["dup_trigram_ppm"] == 666666  # (3-1)*1e6 DIV 3
+    assert got[2]["rep_keep"] == 0
+    # doc 3: everything distinct, top bigram count 1 of 4
+    assert got[3]["dup_bigram_ppm"] == 0 and got[3]["dup_trigram_ppm"] == 0
+    assert got[3]["top_bigram_ppm"] == 250000
+    # doc 4: bigrams x-y,y-x,x-y,y-x,x-y -> 5 total, 2 distinct, top 3
+    assert got[4]["n_bigrams"] == 5
+    assert got[4]["dup_bigram_ppm"] == (5 - 2) * 1000000 // 5
+    assert got[4]["top_bigram_ppm"] == 3 * 1000000 // 5
+
+
+def test_repetition_stats_matches_duckdb_twin(spark):
+    """Spark fold (shuffle-free top-run) == DuckDB relational count on the
+    driver documents table, bit-for-bit (integer arithmetic only)."""
+    import __spark_entry__ as entry
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from manga_translator_spark.operators import text_analysis as ta
+
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in ta.repetition_stats(docs)
+        .select("doc_id", "n_tokens", "n_bigrams", "dup_bigram_ppm",
+                "top_bigram_ppm", "dup_trigram_ppm", "rep_keep")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    exp = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT doc_id, n_tokens, n_bigrams, dup_bigram_ppm, "
+            "top_bigram_ppm, dup_trigram_ppm, rep_keep FROM ("
+            + entry.oracle_sql()["doc_repetition"] + ")"
+        ).fetchall()
+    }
+    assert got == exp
+
+
 if __name__ == "__main__":
     import sys
 
