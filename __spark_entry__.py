@@ -69,21 +69,25 @@ def _ensure_shipped(spark: SparkSession) -> None:
 # --------------------------------------------------------------------------
 
 
+# Synthesized-page template, shared verbatim by the Spark builder and the
+# DuckDB twins (extract_pipeline, stream_dedup_digests) — single source of
+# truth so the two sides can only agree or fail together.  Contains no
+# single quotes, so it embeds into SQL literals directly.
+_PAGE_PRE = (
+    '<html><head><meta charset="utf-8"><title>d</title></head><body>'
+    '<nav class="topnav"><a href="/x">home</a> nav menu links</nav>'
+    "<article><p>"
+)
+_PAGE_POST = '</p></article><footer><p>© footer</p></footer></body></html>'
+
+
 def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
         F.encode(
-            F.concat(
-                F.lit('<html><head><meta charset="utf-8"><title>d</title></head><body>'
-                      '<nav class="topnav"><a href="/x">home</a> nav menu links</nav>'
-                      "<article><p>"),
-                F.col("text"),
-                F.lit("</p></article>"
-                      '<footer><p>© footer</p></footer></body></html>'),
-            ),
-            "utf-8",
+            F.concat(F.lit(_PAGE_PRE), F.col("text"), F.lit(_PAGE_POST)), "utf-8"
         ).alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -356,6 +360,57 @@ def _q_doc_repetition(spark, sf):
     return text_analysis.repetition_stats(_t(spark, sf, "documents"))
 
 
+def _q_stream_dedup_digests(spark, sf):
+    """STREAMING driver query with a full hash-checked twin: watermarked
+    exact dedup (dropDuplicatesWithinWatermark keyed on the html digest)
+    over synthesized pages plus deterministic re-fetches (every third doc
+    duplicated 1s later under a changed url).  The output projects the
+    kept rows to their digests — which row of a duplicate group survives
+    depends on arrival order, but the digest SET is deterministic and
+    equals DISTINCT md5(template html) over documents, so the oracle is
+    plain SQL.  Runs availableNow against a staged parquet snapshot (the
+    bounded-input replay of the unbounded crawl stream)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from manga_translator_spark.streaming.extract_stream import (
+        dedup_pages_stream,
+        read_pages_stream,
+    )
+
+    pages = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    refetch = (
+        pages.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?re")))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 second"))
+    )
+    staged = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        pages.unionByName(refetch).write.mode("overwrite").parquet(staged + "/pages")
+        qn = "stream_dedup_" + uuid.uuid4().hex
+        q = (
+            dedup_pages_stream(read_pages_stream(spark, staged + "/pages"))
+            .writeStream.format("memory")
+            .queryName(qn)
+            .option("checkpointLocation", staged + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # materialize off the memory sink before the temp dir goes away
+        rows = spark.table(qn).select(F.md5("html").alias("digest"))
+        return spark.createDataFrame(rows.toPandas())
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+
 def _q_training_corpus(spark, sf):
     from manga_translator_spark.operators.training import training_corpus
 
@@ -467,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_wrap_lines": _q_doc_wrap_lines,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
+        "stream_dedup_digests": _q_stream_dedup_digests,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -928,6 +984,15 @@ def oracle_sql() -> dict[str, str]:
                END AS BIGINT) AS dup_trigram_ppm
         FROM grams g LEFT JOIN top ON g.doc_id = top.doc_id
       )
+    """
+
+    # Streaming dedup twin: the kept-row digest set after watermarked
+    # exact dedup == DISTINCT md5 of the synthesized page html (re-fetch
+    # rows duplicate existing html bytes, adding no digests).  Shares
+    # _PAGE_PRE/_PAGE_POST with the Spark-side page builder.
+    sql["stream_dedup_digests"] = f"""
+      SELECT DISTINCT md5('{_PAGE_PRE}' || text || '{_PAGE_POST}') AS digest
+      FROM documents
     """
 
     sql["training_corpus"] = f"""
