@@ -948,9 +948,12 @@ def oracle_sql() -> dict[str, str]:
     # Gopher repetition twin: same integer-ppm arithmetic (count * 1e6
     # integer-DIV total — no float column anywhere); the Spark side folds
     # the top-bigram run shuffle-free, the oracle counts it relationally
-    # (unnest + group by) — same values, engine-idiomatic plans.
-    sql["doc_repetition"] = f"""
-      WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+    # (unnest + group by) — same values, engine-idiomatic plans.  A
+    # helper because training_corpus composes the same fragment as its
+    # repetition-filter stage.
+    def _repetition_select(src: str) -> str:
+        return f"""
+      WITH toks AS (SELECT doc_id, {_TOKS} AS tokens FROM {src}),
       grams AS (
         SELECT doc_id, len(tokens) AS n_tokens,
           CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
@@ -986,6 +989,8 @@ def oracle_sql() -> dict[str, str]:
       )
     """
 
+    sql["doc_repetition"] = _repetition_select("documents")
+
     # Streaming dedup twin: the kept-row digest set after watermarked
     # exact dedup == DISTINCT md5 of the synthesized page html (re-fetch
     # rows duplicate existing html bytes, adding no digests).  Shares
@@ -997,8 +1002,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["training_corpus"] = f"""
       WITH RECURSIVE gq AS ({_gopher_select('documents')}),
+      rep AS ({_repetition_select('documents')}),
       kept AS (SELECT d.* FROM documents d
-               JOIN gq ON d.doc_id = gq.doc_id AND gq.keep = 1),
+               JOIN gq ON d.doc_id = gq.doc_id AND gq.keep = 1
+               JOIN rep ON d.doc_id = rep.doc_id AND rep.rep_keep = 1),
       keptc AS (SELECT k.* FROM kept k
                 JOIN (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)) c
                 ON k.doc_id = c.doc_id){_bands_cte('keptc', lead=',')},
