@@ -311,12 +311,17 @@ _TOP_RUN_FOLD = """aggregate(sort_array({arr}),
   a -> a.best)"""
 
 
-def repetition_stats(docs: "DataFrame") -> "DataFrame":
+def repetition_stats(
+    docs: "DataFrame",
+    max_dup_bigram_ppm: int = REP_MAX_DUP_BIGRAM_PPM,
+    max_top_bigram_ppm: int = REP_MAX_TOP_BIGRAM_PPM,
+) -> "DataFrame":
     """Per-doc repetition signals + keep verdict, integer ppm throughout.
 
     Columns: n_tokens, n_bigrams, dup_bigram_ppm (repeated-bigram
     fraction), top_bigram_ppm (share of the most frequent bigram),
-    dup_trigram_ppm, rep_keep (1 iff both thresholds hold).  Single
+    dup_trigram_ppm, rep_keep (1 iff both thresholds hold).  Thresholds
+    are per-corpus knobs (driver queries pin the defaults).  Single
     projection, nested let-bindings (texthash.py idiom) so tokens /
     bigrams / trigrams each evaluate once per row.
     """
@@ -355,8 +360,8 @@ def repetition_stats(docs: "DataFrame") -> "DataFrame":
         .withColumn(
             "rep_keep",
             F.expr(
-                f"CAST(dup_bigram_ppm <= {REP_MAX_DUP_BIGRAM_PPM} "
-                f"AND top_bigram_ppm <= {REP_MAX_TOP_BIGRAM_PPM} AS INT)"
+                f"CAST(dup_bigram_ppm <= {int(max_dup_bigram_ppm)} "
+                f"AND top_bigram_ppm <= {int(max_top_bigram_ppm)} AS INT)"
             ),
         )
     )

@@ -116,6 +116,7 @@ def _operator_arg_schemas() -> dict:
     a module edit.  Defaults are read live from the modules so this listing
     cannot drift from the code."""
     from manga_translator_spark.operators import dedup, similarity
+    from manga_translator_spark.operators import text_analysis as _ta
 
     def a(type_, default, doc):
         return {"type": type_, "default": default, "doc": doc}
@@ -139,6 +140,19 @@ def _operator_arg_schemas() -> dict:
         },
         "text_analysis.wrap_lines": {
             "width": a("int", 40, "wrap width in unit cells (drawer text-flow)")
+        },
+        "text_analysis.repetition_stats": {
+            "max_dup_bigram_ppm": a(
+                "int", _ta.REP_MAX_DUP_BIGRAM_PPM, "duplicate-bigram keep ceiling (ppm)"
+            ),
+            "max_top_bigram_ppm": a(
+                "int", _ta.REP_MAX_TOP_BIGRAM_PPM, "top-bigram-share keep ceiling (ppm)"
+            ),
+        },
+        "streaming.dedup_pages_stream": {
+            "watermark": a(
+                "str", "30 minutes", "state-eviction horizon for the digest store"
+            ),
         },
         "assemble.with_wrapped_lines": {
             "wrap_width": a("int", 40, "per-span wrap width in unit cells")
