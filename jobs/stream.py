@@ -1,0 +1,98 @@
+"""spark-submit entry point: streaming extraction over a growing pages dir.
+
+The in-flight form of jobs/extract.py: watch a parquet directory of pages,
+optionally dedup re-fetches (watermarked digest state) and gate on the
+Gopher quality rules, extract, and append to a parquet sink.  Restart
+resumes from the streaming checkpoint — the streaming analogue of the
+batch job's lineage-table resume (reference cli/main.py:31-107 runs the
+same pipeline as one-shot batches; a crawl pipeline runs it forever).
+
+Examples
+--------
+# drain everything currently in --input, then exit (availableNow):
+python jobs/stream.py --input /data/pages --out /data/extracted \
+    --checkpoint /data/ckpt --dedup --quality
+
+# stay up and follow the directory (continuous micro-batches):
+python jobs/stream.py --input /data/pages --out /data/extracted \
+    --checkpoint /data/ckpt --follow
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from manga_translator_spark.plans.pipeline import PipelineConfig
+from manga_translator_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="pages parquet dir (watched)")
+    p.add_argument("--out", required=True, help="append-mode parquet sink dir")
+    p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    p.add_argument("--master", default=None)
+    p.add_argument("--dedup", action="store_true",
+                   help="drop re-fetched pages within the watermark horizon")
+    p.add_argument("--watermark", default="30 minutes",
+                   help="digest-state eviction horizon (with --dedup)")
+    p.add_argument("--quality", action="store_true",
+                   help="keep only pages passing the Gopher rules")
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--follow", action="store_true",
+                   help="keep running on new files instead of draining once")
+    p.add_argument("--timeout-sec", type=int, default=0,
+                   help="with --follow: stop after this many seconds (0 = forever)")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app="stream_extract", master=args.master)
+    from manga_translator_spark.operators.text_analysis import gopher_keep_condition
+    from manga_translator_spark.streaming.extract_stream import (
+        dedup_pages_stream,
+        extract_stream,
+        read_pages_stream,
+    )
+
+    stream = read_pages_stream(spark, args.input, args.max_files_per_trigger)
+    if args.dedup:
+        stream = dedup_pages_stream(stream, args.watermark)
+    out = extract_stream(stream, PipelineConfig())
+    if args.quality:
+        out = out.filter(gopher_keep_condition("extracted_text"))
+
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+    )
+    if not args.follow:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    t0 = time.time()
+    if args.follow and args.timeout_sec:
+        q.awaitTermination(args.timeout_sec)
+        q.stop()
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
+    n_rows = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "sink": args.out,
+        "rows_in_sink": n_rows,
+        "wall_sec": round(time.time() - t0, 3),
+        "dedup": bool(args.dedup),
+        "quality": bool(args.quality),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

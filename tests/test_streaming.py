@@ -259,3 +259,46 @@ def test_gopher_keep_condition_equals_gopher_quality(spark, corpus_rows):
         for r in docs.select("doc_id", gopher_keep_condition("text").alias("k")).collect()
     }
     assert flags == conds
+
+
+def test_stream_job_cli_dedup(corpus_rows, tmp_path):
+    """jobs/stream.py end-to-end in a subprocess (own session — the job
+    stops its SparkSession, so it must not share pytest's): re-fetches are
+    deduped, sink row count equals the unique page count."""
+    import datetime as dt
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyspark.sql  # noqa: F401 — ensures pyspark importable for the child
+
+    rows = [dict(r) for r in corpus_rows[:60]]
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    for r in rows:
+        r["warc_ts"] = t0
+    dupes = []
+    for r in rows[:10]:
+        d = dict(r)
+        d["url"] = r["url"] + "?re"
+        dupes.append(d)
+    import duckdb
+
+    pdf = pd.DataFrame(rows + dupes)
+    con = duckdb.connect()
+    con.register("p", pdf)
+    os.makedirs(tmp_path / "pages", exist_ok=True)
+    con.execute(
+        f"COPY (SELECT * FROM p) TO '{tmp_path / 'pages' / 'part0.parquet'}' (FORMAT PARQUET)"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "stream.py"),
+         "--input", str(tmp_path / "pages"), "--out", str(tmp_path / "ext"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, out.stdout[-500:] + out.stderr[-1500:]
+    res = json.loads(lines[-1])
+    assert res["rows_in_sink"] == 60 and res["dedup"] is True

@@ -117,6 +117,44 @@ def test_repetition_stats_matches_duckdb_twin(spark):
     assert got == exp
 
 
+
+
+def test_repetition_stats_fuzz_vs_python_counter(spark):
+    """100 random small-vocab docs vs a pure-Python oracle: the sorted-run
+    fold's top count must equal Counter's most_common, and the dup/ppm
+    arithmetic must match integer division exactly (tie runs, singleton
+    runs, all-identical docs all appear at this vocab size)."""
+    import random
+    from collections import Counter
+
+    from manga_translator_spark.operators import text_analysis as ta
+
+    rng = random.Random(77)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        for _ in range(100)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r["doc_id"]: r.asDict() for r in ta.repetition_stats(docs).collect()}
+
+    def ppm(count, total):
+        return count * 1000000 // total if total else 0
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bg = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        tg = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        top = Counter(bg).most_common(1)[0][1] if bg else 0
+        r = got[i]
+        assert r["n_bigrams"] == len(bg)
+        assert r["dup_bigram_ppm"] == ppm(len(bg) - len(set(bg)), len(bg))
+        assert r["top_bigram_ppm"] == ppm(top, len(bg))
+        assert r["dup_trigram_ppm"] == ppm(len(tg) - len(set(tg)), len(tg))
+
+
 if __name__ == "__main__":
     import sys
 
