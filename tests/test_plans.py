@@ -174,3 +174,28 @@ def test_scale_knobs_are_arguments_and_described(spark):
     assert ops["similarity.ann_ivf_topk"]["nprobe"]["default"] == similarity.IVF_NPROBE
     assert ops["dedup.lsh_candidate_pairs"]["max_bucket"]["default"] == dedup.MAX_BUCKET
     assert ops["similarity.cosine_topk"]["max_queries"]["default"] == similarity.MAX_QUERIES
+
+
+def test_repetition_plan_prunes_and_computes_struct_once(spark, tmp_path):
+    """doc_repetition: 2-column pruned scan, no Exchange beyond the
+    deliberate spread() round-robin, and the nested let-binding holds —
+    the ngram struct appears in exactly ONE Project (rep_keep reads struct
+    fields instead of re-expanding the fold)."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.text_analysis import repetition_stats
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "x"], "lang": ["en"] * 2})
+    ).write.parquet(path)
+    plan = _plan(repetition_stats(spark.read.parquet(path)))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema  # pruned
+    assert plan.count("RoundRobinPartitioning") <= 1
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "RoundRobin" not in l]
+    assert not any("hashpartitioning" in l for l in exchanges), exchanges
+    # the expensive fold is evaluated once: 'aggregate(sort_array' occurs in
+    # exactly one plan node (the struct-producing Project)
+    assert plan.count("aggregate(sort_array") == 1, plan.count("aggregate(sort_array")
