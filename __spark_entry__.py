@@ -360,6 +360,46 @@ def _q_doc_repetition(spark, sf):
     return text_analysis.repetition_stats(_t(spark, sf, "documents"))
 
 
+def _pdfs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one PDF payload per document: body run emitted FIRST in
+    the content stream at y=600, title second at y=700 — extraction must
+    reorder to title-then-body, so the hash gate proves layout ordering,
+    not just stream replay."""
+    import pandas as pd
+
+    from manga_translator_spark.functions.pdf import make_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": ["pdf://" + str(i) for i in pdf["doc_id"]],
+                    "html": [
+                        make_pdf(
+                            [(72, 600, 11, t), (72, 700, 16, "Doc %d" % i)]
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema="url string, html binary")
+
+
+def _q_pdf_extract(spark, sf):
+    """PDF/layout parse driver query (north rule): stdlib PDF kernel over
+    synthesized Flate-compressed payloads; twin reconstructs the expected
+    reading-ordered extraction in SQL from the fixed template."""
+    from manga_translator_spark.operators.pdf_extract import extract_pdfs
+
+    _ensure_shipped(spark)
+    return extract_pdfs(_pdfs_from_documents(spark, sf)).select(
+        "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
+    )
+
+
 def _q_stream_dedup_digests(spark, sf):
     """STREAMING driver query with a full hash-checked twin: watermarked
     exact dedup (dropDuplicatesWithinWatermark keyed on the html digest)
@@ -523,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
         "stream_dedup_digests": _q_stream_dedup_digests,
+        "pdf_extract": _q_pdf_extract,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -998,6 +1039,28 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_dedup_digests"] = f"""
       SELECT DISTINCT md5('{_PAGE_PRE}' || text || '{_PAGE_POST}') AS digest
       FROM documents
+    """
+
+    # PDF/layout twin: the synthesized template is fixed (title at y=700,
+    # body at y=600, body FIRST in the stream), so the expected reading-
+    # ordered extraction is title-then-normalized-body, SQL-expressible
+    # exactly like the extract_pipeline twin.  Blank-normalized bodies are
+    # compacted away (T14), leaving the title-only single-span form.
+    sql["pdf_extract"] = f"""
+      WITH pnorm AS (
+        SELECT doc_id, 'Doc ' || doc_id::VARCHAR AS title, {_norm} AS t
+        FROM documents
+      )
+      SELECT 'pdf://' || doc_id::VARCHAR AS url,
+             CASE WHEN t = '' THEN title ELSE title || ' ' || t END AS extracted_text,
+             CASE WHEN t = '' THEN 1 ELSE 2 END AS n_blocks,
+             CASE WHEN t = ''
+                  THEN '[{{"block_idx":0,"start":0,"end":' || length(title)::VARCHAR || '}}]'
+                  ELSE '[{{"block_idx":0,"start":0,"end":' || length(title)::VARCHAR
+                       || '}},{{"block_idx":1,"start":' || (length(title) + 1)::VARCHAR
+                       || ',"end":' || (length(title) + 1 + length(t))::VARCHAR || '}}]'
+                  END AS spans_json
+      FROM pnorm
     """
 
     sql["training_corpus"] = f"""

@@ -49,6 +49,7 @@ QUERY_NAMES = (
     "doc_wrap_lines",
     "doc_bpe_tokens",
     "doc_repetition",
+    "pdf_extract",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",

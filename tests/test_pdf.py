@@ -1,0 +1,177 @@
+"""PDF layout kernel + routed extraction (the north rule's PDF parse)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from manga_translator_spark.functions.normalize import normalize_text
+from manga_translator_spark.functions.pdf import (
+    extract_pdf_blocks,
+    extract_pdf_text,
+    make_pdf,
+)
+from manga_translator_spark.operators.pdf_extract import (
+    extract_any,
+    extract_pdfs,
+    pdf_extract_kernel,
+)
+from manga_translator_spark.schema import PAGES_SCHEMA
+
+
+def test_round_trip_reading_order():
+    """Stream order is adversarial (body first, title second); extraction
+    must come back in layout order — the 'layout parse' contract."""
+    pdf = make_pdf(
+        [
+            (72, 600, 11, "body paragraph, stream-first but reading-second."),
+            (72, 700, 18, "Title Line"),
+            (310, 700, 11, "sidebar right of title"),
+        ]
+    )
+    texts = [b.text for b in extract_pdf_blocks(pdf)]
+    assert texts == [
+        "Title Line",
+        "sidebar right of title",
+        "body paragraph, stream-first but reading-second.",
+    ]
+
+
+def test_string_escapes_and_operators():
+    pdf = make_pdf([(10, 20, 9, "par(en)s \\ mixed")])
+    assert extract_pdf_blocks(pdf)[0].text == "par(en)s \\ mixed"
+    # octal + named escapes through a hand-built stream
+    import zlib
+
+    content = zlib.compress(rb"BT /F1 10 Tf 5 5 Td (\110i\tthere) Tj ET")
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    blocks = extract_pdf_blocks(raw)
+    assert blocks and blocks[0].text == "Hi\tthere"
+
+
+def test_tm_tstar_and_leading():
+    """Tm absolute positioning and T*/TL line stepping order correctly."""
+    import zlib
+
+    content = zlib.compress(
+        b"BT /F1 10 Tf 14 TL 1 0 0 1 50 500 Tm (first) Tj T* (second) Tj ET"
+    )
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    assert [b.text for b in extract_pdf_blocks(raw)] == ["first", "second"]
+
+
+def test_garbage_and_unsupported_yield_empty():
+    assert extract_pdf_blocks(None) == []
+    assert extract_pdf_blocks(b"<html>not a pdf</html>") == []
+    assert extract_pdf_blocks(b"%PDF-1.4 truncated") == []
+    # unsupported filter: skipped, never garbage
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode >>\nstream\n"
+        b"\xff\xd8\xff\xe0\nendstream\nendobj\n"
+    )
+    assert extract_pdf_blocks(raw) == []
+
+
+def test_kernel_spans_and_blank_compaction():
+    pdf = make_pdf(
+        [
+            (72, 700, 12, "alpha"),
+            (72, 650, 12, "   "),  # blank after normalization: dropped (T14)
+            (72, 600, 12, "beta gamma"),
+        ]
+    )
+    text, spans, n = pdf_extract_kernel(pdf)
+    assert text == "alpha beta gamma" and n == 2
+    assert [(s["start"], s["end"]) for s in spans] == [(0, 5), (6, 16)]
+    assert [text[s["start"] : s["end"]] for s in spans] == ["alpha", "beta gamma"]
+    # block_idx preserves reading-order index incl. the dropped blank
+    assert [s["block_idx"] for s in spans] == [0, 2]
+
+
+def test_extract_any_routes_mixed_payloads(spark, corpus_rows):
+    """html rows take the DOM pipeline, %PDF- rows the PDF kernel; the
+    union carries both with the standard schema, byte-identical to the
+    respective oracles."""
+    from manga_translator_spark.oracle import extract_corpus
+
+    html_rows = [dict(r) for r in corpus_rows[:25]]
+    pdf_pages = []
+    for i in range(10):
+        body = f"pdf body text number {i}, long enough to matter."
+        pdf_pages.append(
+            {
+                "url": f"pdf://doc/{i}",
+                "warc_ts": None,
+                "html": make_pdf(
+                    [(72, 600, 11, body), (72, 700, 16, f"Heading {i}")]
+                ),
+                "text": "",
+                "lang": "en",
+            }
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(html_rows + pdf_pages), schema=PAGES_SCHEMA
+    )
+    out = {r["url"]: r for r in extract_any(df).collect()}
+    assert len(out) == 35
+    golden = {e.url: e.extracted_text for e in extract_corpus(html_rows)}
+    for r in html_rows:
+        assert out[r["url"]]["extracted_text"] == golden[r["url"]]
+    for i in range(10):
+        row = out[f"pdf://doc/{i}"]
+        exp_text, exp_spans, exp_n = pdf_extract_kernel(pdf_pages[i]["html"])
+        assert row["extracted_text"] == exp_text == (
+            normalize_text(f"Heading {i}")
+            + " "
+            + normalize_text(f"pdf body text number {i}, long enough to matter.")
+        )
+        assert row["n_blocks"] == exp_n == 2
+        assert [(s["start"], s["end"]) for s in row["spans"]] == [
+            (s["start"], s["end"]) for s in exp_spans
+        ]
+        assert row["recognized"] == []
+
+
+def test_stream_extent_uses_declared_length():
+    """Compressed bodies may legitimately end in CR/LF bytes; the declared
+    /Length must win over EOL-strip guessing (regression: docs whose
+    deflate output ends in 0x0D parsed to zero blocks)."""
+    import zlib
+
+    import random
+
+    rng = random.Random(3)
+    content = None
+    # find a text whose compressed stream ends with CR (the failing shape)
+    for n in range(20000):
+        word = bytes(rng.choice(b"abcdefghij") for _ in range(rng.randrange(3, 20)))
+        cand = zlib.compress(b"BT /F1 10 Tf 5 5 Td (x%d %s) Tj ET" % (n, word))
+        if cand.endswith(b"\r"):
+            content = cand
+            tag = "x%d %s" % (n, word.decode())
+            break
+    assert content is not None
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    blocks = extract_pdf_blocks(raw)
+    assert blocks and blocks[0].text == tag
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
