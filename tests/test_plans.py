@@ -199,3 +199,26 @@ def test_repetition_plan_prunes_and_computes_struct_once(spark, tmp_path):
     # the expensive fold is evaluated once: 'aggregate(sort_array' occurs in
     # exactly one plan node (the struct-producing Project)
     assert plan.count("aggregate(sort_array") == 1, plan.count("aggregate(sort_array")
+
+
+def test_extract_any_router_pushes_sniff_to_scan(spark, tmp_path, pages_df):
+    """The %PDF- byte sniff must reach the parquet scan on both branches
+    (each row's bytes are read by exactly one branch's surviving filter),
+    and neither branch introduces a shuffle."""
+    from manga_translator_spark.operators.pdf_extract import extract_any
+
+    path = str(tmp_path / "mixed")
+    pages_df.write.parquet(path)
+    plan = _plan(extract_any(spark.read.parquet(path)))
+    # both branches scan pruned columns and filter on the byte sniff
+    # BEFORE their Python stage (codegen Condition, no shuffle anywhere)
+    tree = plan.split("\n\n")[0]  # tree view; node details repeat the names
+    assert tree.count("Scan parquet") == 2
+    conds = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Condition") and "substring" in l
+    ]
+    assert len(conds) == 2, plan[:2000]
+    assert "Exchange" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("url" in l and "html" in l and "lang" not in l for l in read_schemas)
