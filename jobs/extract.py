@@ -33,6 +33,12 @@ from manga_translator_spark.sources.lineage import run_extraction
 from manga_translator_spark.sources.pages import corpus_df, read_pages
 
 
+def _pdf_router():
+    from manga_translator_spark.operators.pdf_extract import extract_any
+
+    return extract_any
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
@@ -46,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--assembler", default="arrays")
     p.add_argument("--enricher", default="pipe")
     p.add_argument("--repair", default="none", help="gray-zone repair model (none|model)")
+    p.add_argument("--route-pdf", action="store_true",
+                   help="route %%PDF- payloads through the PDF layout kernel "
+                        "(mixed html/pdf tables)")
     p.add_argument("--no-recognize", action="store_true")
     p.add_argument(
         "--until",
@@ -100,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
             config=cfg,
             n_buckets=args.n_buckets,
             buckets_per_job=args.buckets_per_job,
+            transform=_pdf_router() if args.route_pdf else None,
         )
         wall = time.monotonic() - t0
         n = spark.read.parquet(args.out).count()

@@ -90,16 +90,17 @@ def is_pdf_payload() -> "F.Column":
     return F.expr(f"substring(html, 1, 5) = X'{_PDF_MAGIC_HEX}'")
 
 
-def extract_any(pages: "DataFrame", config=None) -> "DataFrame":
+def extract_any(pages: "DataFrame", config=None, *, metrics=None) -> "DataFrame":
     """Route mixed html/pdf payloads to their extractors; union the rows.
 
     The HTML branch returns plans.pipeline.extract's full output (incl.
     recognized); the PDF branch emits the same schema.  Column order is
-    aligned by name.
+    aligned by name.  ``metrics`` passes through to the HTML pipeline's
+    stage accumulators (the PDF branch is a single kernel stage).
     """
     from manga_translator_spark.plans.pipeline import extract
 
     sniff = is_pdf_payload()
-    html_rows = extract(pages.filter(~sniff), config)
+    html_rows = extract(pages.filter(~sniff), config, metrics=metrics)
     pdf_rows = extract_pdfs(pages.filter(sniff))
     return html_rows.select(*EXTRACTED_SCHEMA.fieldNames()).unionByName(pdf_rows)

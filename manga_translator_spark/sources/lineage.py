@@ -93,12 +93,16 @@ def run_extraction(
     buckets_per_job: int = 8,
     run_id: str | None = None,
     fail_buckets: set[int] | None = None,
+    transform=None,
 ) -> str:
     """Bucketed, resumable extraction run.
 
     ``fail_buckets`` is a test hook: those bucket groups raise mid-run,
     exercising the resume path (a 'failed' row is recorded; a re-run picks
-    the group up again).  Returns the run_id.
+    the group up again).  ``transform`` swaps the per-group plan (e.g.
+    ``operators.pdf_extract.extract_any`` for mixed html/pdf tables);
+    custom transforms take the exact rows_in count path, since the fused
+    accumulator only instruments the default pipeline.  Returns run_id.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     bucketed = with_bucket(pages, n_buckets)
@@ -119,7 +123,7 @@ def run_extraction(
         try:
             if fail_buckets and set(group) & fail_buckets:
                 raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
-            result = extract(part, config, metrics=stage_acc)
+            result = (transform or extract)(part, config, metrics=stage_acc)
             if "bucket" not in result.columns:  # staged configs: re-key
                 result = result.join(part.select("url", "bucket"), "url", "left")
             # dynamic partition overwrite: a retried group replaces exactly
@@ -137,7 +141,7 @@ def run_extraction(
             # tracker unavailable => keep the value but flag approximate.
             failed = _failed_tasks_in_group(spark, group_id)
             rows_in_exact = failed == 0
-            if not rows_in or (failed is not None and failed > 0):
+            if transform is not None or not rows_in or (failed is not None and failed > 0):
                 # staged path (no fused accumulator) or retried tasks:
                 # take the exact count
                 rows_in = {

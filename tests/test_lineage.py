@@ -62,3 +62,45 @@ def test_bucket_assignment_stable(spark, pages_df):
     b = with_bucket(pages_df, 16).select("url", "bucket")
     assert a.exceptAll(b).count() == 0
     assert a.select("bucket").distinct().count() > 8  # spread, not collapsed
+
+
+def test_routed_run_extracts_mixed_html_pdf(spark, corpus_rows, tmp_path):
+    """run_extraction with the pdf/html router: every row lands exactly
+    once, PDF rows via the layout kernel, lineage exact (custom transforms
+    take the recount path)."""
+    import pandas as pd
+
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import (
+        extract_any,
+        pdf_extract_kernel,
+    )
+    from manga_translator_spark.schema import PAGES_SCHEMA
+
+    html_rows = [dict(r) for r in corpus_rows[:30]]
+    pdf_pages = [
+        {
+            "url": f"pdf://mix/{i}",
+            "warc_ts": None,
+            "html": make_pdf([(72, 600, 11, f"pdf body {i} text"), (72, 700, 16, f"T{i}")]),
+            "text": "",
+            "lang": "en",
+        }
+        for i in range(12)
+    ]
+    pages = spark.createDataFrame(
+        pd.DataFrame(html_rows + pdf_pages), schema=PAGES_SCHEMA
+    )
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    run_extraction(
+        spark, pages, out, lin, n_buckets=8, buckets_per_job=4, transform=extract_any
+    )
+    got = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    assert len(got) == 42
+    for p in pdf_pages:
+        exp_text, _, exp_n = pdf_extract_kernel(p["html"])
+        assert got[p["url"]]["extracted_text"] == exp_text
+        assert got[p["url"]]["n_blocks"] == exp_n == 2
+    lineage = read_lineage(spark, lin).collect()
+    assert sum(r["rows_in"] for r in lineage) == 42
+    assert all(r["rows_in"] == r["rows_out"] and r["rows_in_exact"] for r in lineage)
