@@ -43,6 +43,7 @@ PDF_MAGIC = b"%PDF-"
 
 
 class PdfBlock(NamedTuple):
+    page: int  # content-stream index (page order in the file)
     x: float
     y: float
     size: float
@@ -222,24 +223,28 @@ def _runs_from_stream(stream: bytes) -> list[PdfBlock]:
         elif op in (b"Tj", b"'", b'"') and in_text and strings_since:
             if op in (b"'", b'"'):  # both move to the next line first
                 y -= leading
-            runs.append(PdfBlock(x, y, size, strings_since[-1]))
+            runs.append(PdfBlock(0, x, y, size, strings_since[-1]))
         elif op == b"TJ" and in_text and strings_since:
-            runs.append(PdfBlock(x, y, size, "".join(strings_since)))
+            runs.append(PdfBlock(0, x, y, size, "".join(strings_since)))
         stack.clear()
         strings_since.clear()
     return runs
 
 
 def extract_pdf_blocks(data: bytes | None) -> list[PdfBlock]:
-    """Positioned text runs of a PDF payload, in READING ORDER
-    (top-down by y, then left-right by x — PDF y grows upward).
-    Non-PDF / undecodable payloads yield []."""
+    """Positioned text runs of a PDF payload, in READING ORDER: page
+    (content-stream index) major, then top-down by y, then left-right by
+    x (PDF y grows upward).  Sorting y globally would interleave pages —
+    page 2's header outranks page 1's footer — so the stream index is the
+    primary key.  Non-PDF / undecodable payloads yield []."""
     if not data or not bytes(data[:5]) == PDF_MAGIC:
         return []
     runs: list[PdfBlock] = []
-    for stream in _content_streams(bytes(data)):
-        runs.extend(_runs_from_stream(stream))
-    runs.sort(key=lambda r: (-r.y, r.x))
+    for page, stream in enumerate(_content_streams(bytes(data))):
+        runs.extend(
+            r._replace(page=page) for r in _runs_from_stream(stream)
+        )
+    runs.sort(key=lambda r: (r.page, -r.y, r.x))
     return runs
 
 

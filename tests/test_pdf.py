@@ -171,6 +171,29 @@ def test_stream_extent_uses_declared_length():
     assert blocks and blocks[0].text == tag
 
 
+def test_multipage_reading_order_is_page_major():
+    """Two content streams (two pages): page 1's bottom line must precede
+    page 2's top line — a global y sort would interleave them."""
+    import zlib
+
+    def obj(n, content):
+        return (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (n, len(content))
+            + content
+            + b"\nendstream\nendobj\n"
+        )
+
+    c1 = zlib.compress(b"BT /F1 10 Tf 50 700 Td (p1 top) Tj ET\n"
+                       b"BT /F1 10 Tf 50 100 Td (p1 bottom) Tj ET")
+    c2 = zlib.compress(b"BT /F1 10 Tf 50 700 Td (p2 top) Tj ET")
+    raw = b"%PDF-1.4\n" + obj(1, c1) + obj(2, c2)
+    texts = [b.text for b in extract_pdf_blocks(raw)]
+    assert texts == ["p1 top", "p1 bottom", "p2 top"]
+    pages = [b.page for b in extract_pdf_blocks(raw)]
+    assert pages == [0, 0, 1]
+
+
 if __name__ == "__main__":
     import sys
 
