@@ -473,6 +473,10 @@ def _q_ann_in_bucket(spark, sf):
     return similarity.ann_topk_in_bucket(_t(spark, sf, "embeddings"))
 
 
+def _q_ann_recall(spark, sf):
+    return similarity.ann_recall(_t(spark, sf, "embeddings"))
+
+
 def _q_ann_ivf(spark, sf):
     return similarity.ann_ivf_topk(_t(spark, sf, "embeddings"))
 
@@ -569,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
     }
 
@@ -1213,6 +1218,25 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON query_id = q.vec_id
               JOIN embeddings n ON neighbor_id = n.vec_id)
       ) WHERE rank <= 5
+    """
+
+    # ANN recall evaluation: composes the two twins above — exact top-k is
+    # ground truth, IVF hits are counted per query, recall as integer ppm
+    # (count * 1e6 integer-DIV count; no float column).
+    sql["ann_ivf_recall"] = f"""
+      WITH exact AS ({sql['ann_cosine_topk']}),
+      approx AS ({sql['ann_ivf_topk']})
+      SELECT query_id, n_exact, n_hit,
+             (n_hit * 1000000) // n_exact AS recall_ppm
+      FROM (
+        SELECT e.query_id AS query_id,
+               count(*) AS n_exact,
+               count(a.neighbor_id) AS n_hit
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+      )
     """
 
     return sql

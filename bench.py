@@ -54,6 +54,7 @@ QUERY_NAMES = (
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",
     "ann_ivf_topk",
+    "ann_ivf_recall",
     "embedding_near_dup",
 )
 

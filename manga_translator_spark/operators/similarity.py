@@ -428,3 +428,31 @@ def ann_topk_in_bucket(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ann_recall(embeddings: "DataFrame", k: int = 5) -> "DataFrame":
+    """Measured recall of the IVF index against the exact baseline — the
+    evaluation query every ANN deployment runs before trusting an index.
+
+    Ground truth = ``cosine_topk`` (exact, bounded query set); candidate =
+    ``ann_ivf_topk`` over the same deterministic query subset.  Output per
+    query: (query_id, n_exact, n_hit, recall_ppm) — integer ppm via
+    integer division, no float column (twin discipline).  At 100 TB this
+    runs over a sampled query set exactly as here: the exact side is the
+    expensive leg and is already bounded by ``MAX_QUERIES``.
+    """
+    exact = cosine_topk(embeddings, k)
+    approx = ann_ivf_topk(embeddings, k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("is_hit")
+    )
+    joined = exact.select("query_id", "neighbor_id").join(
+        approx, ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("is_hit").alias("n_hit"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hit * 1000000 DIV n_exact"))
+    )
