@@ -400,6 +400,28 @@ def _q_pdf_extract(spark, sf):
     )
 
 
+def _q_extract_routed(spark, sf):
+    """Mixed html/pdf table through the router (operators/pdf_extract.
+    extract_any): html template pages + pdf template pages in ONE input,
+    each row extracted by exactly one branch.  Twin = UNION ALL of the
+    two template twins."""
+    from manga_translator_spark.operators.pdf_extract import extract_any
+
+    _ensure_shipped(spark)
+    html_pages = _pages_from_documents(spark, sf)
+    pdf_pages = _pdfs_from_documents(spark, sf).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    mixed = html_pages.unionByName(pdf_pages)
+    return extract_any(mixed).select(
+        "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
+    )
+
+
 def _q_stream_dedup_digests(spark, sf):
     """STREAMING driver query with a full hash-checked twin: watermarked
     exact dedup (dropDuplicatesWithinWatermark keyed on the html digest)
@@ -568,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "stream_dedup_digests": _q_stream_dedup_digests,
         "pdf_extract": _q_pdf_extract,
+        "extract_routed": _q_extract_routed,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -1237,6 +1260,12 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
       )
+    """
+
+    sql["extract_routed"] = f"""
+      SELECT * FROM ({sql['extract_pipeline']})
+      UNION ALL
+      SELECT * FROM ({sql['pdf_extract']})
     """
 
     return sql
