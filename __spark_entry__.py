@@ -499,6 +499,10 @@ def _q_ann_recall(spark, sf):
     return similarity.ann_recall(_t(spark, sf, "embeddings"))
 
 
+def _q_ann_bucket_recall(spark, sf):
+    return similarity.ann_bucket_recall(_t(spark, sf, "embeddings"))
+
+
 def _q_ann_ivf(spark, sf):
     return similarity.ann_ivf_topk(_t(spark, sf, "embeddings"))
 
@@ -597,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_in_bucket_topk": _q_ann_in_bucket,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_recall": _q_ann_recall,
+        "ann_bucket_recall": _q_ann_bucket_recall,
         "embedding_near_dup": _q_embedding_near_dup,
     }
 
@@ -1249,6 +1254,22 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_ivf_recall"] = f"""
       WITH exact AS ({sql['ann_cosine_topk']}),
       approx AS ({sql['ann_ivf_topk']})
+      SELECT query_id, n_exact, n_hit,
+             (n_hit * 1000000) // n_exact AS recall_ppm
+      FROM (
+        SELECT e.query_id AS query_id,
+               count(*) AS n_exact,
+               count(a.neighbor_id) AS n_hit
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+      )
+    """
+
+    sql["ann_bucket_recall"] = f"""
+      WITH exact AS ({sql['ann_cosine_topk']}),
+      approx AS ({sql['ann_in_bucket_topk']})
       SELECT query_id, n_exact, n_hit,
              (n_hit * 1000000) // n_exact AS recall_ppm
       FROM (

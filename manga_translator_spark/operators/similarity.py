@@ -430,19 +430,25 @@ def ann_topk_in_bucket(
     )
 
 
-def ann_recall(embeddings: "DataFrame", k: int = 5) -> "DataFrame":
-    """Measured recall of the IVF index against the exact baseline — the
+def ann_recall(
+    embeddings: "DataFrame", k: int = 5, approx: "DataFrame | None" = None
+) -> "DataFrame":
+    """Measured recall of an ANN index against the exact baseline — the
     evaluation query every ANN deployment runs before trusting an index.
 
     Ground truth = ``cosine_topk`` (exact, bounded query set); candidate =
-    ``ann_ivf_topk`` over the same deterministic query subset.  Output per
-    query: (query_id, n_exact, n_hit, recall_ppm) — integer ppm via
-    integer division, no float column (twin discipline).  At 100 TB this
-    runs over a sampled query set exactly as here: the exact side is the
-    expensive leg and is already bounded by ``MAX_QUERIES``.
+    ``approx`` (default: ``ann_ivf_topk``) over the same deterministic
+    query subset.  Queries the index returns nothing for count as zero
+    hits.  Output per query: (query_id, n_exact, n_hit, recall_ppm) —
+    integer ppm via integer division, no float column (twin discipline).
+    At 100 TB this runs over a sampled query set exactly as here: the
+    exact side is the expensive leg and is already bounded by
+    ``MAX_QUERIES``.
     """
     exact = cosine_topk(embeddings, k)
-    approx = ann_ivf_topk(embeddings, k).select(
+    if approx is None:
+        approx = ann_ivf_topk(embeddings, k)
+    approx = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("is_hit")
     )
     joined = exact.select("query_id", "neighbor_id").join(
@@ -456,3 +462,9 @@ def ann_recall(embeddings: "DataFrame", k: int = 5) -> "DataFrame":
         )
         .withColumn("recall_ppm", F.expr("n_hit * 1000000 DIV n_exact"))
     )
+
+
+def ann_bucket_recall(embeddings: "DataFrame", k: int = 5) -> "DataFrame":
+    """Recall of the banded-LSH in-bucket index vs the exact baseline —
+    the second ANN family, same integer-ppm evaluation."""
+    return ann_recall(embeddings, k, approx=ann_topk_in_bucket(embeddings, k))
