@@ -197,3 +197,22 @@ def quality_extract_stream(
     return extract_stream(pages_stream, config).filter(
         gopher_keep_condition("extracted_text")
     )
+
+
+def routed_extract_stream(
+    pages_stream: "DataFrame", config: PipelineConfig | None = None
+) -> "DataFrame":
+    """Streaming html/pdf router: the batch ``extract_any`` applied to a
+    stream.  Both branches are narrow (filter + mapInPandas) and the union
+    of two append-legal streaming plans over the same source is itself
+    append-legal — no state, no watermark needed."""
+    from manga_translator_spark.operators.pdf_extract import (
+        extract_pdfs,
+        is_pdf_payload,
+    )
+    from manga_translator_spark.schema import EXTRACTED_SCHEMA
+
+    sniff = is_pdf_payload()
+    html_rows = extract_stream(pages_stream.filter(~sniff), config)
+    pdf_rows = extract_pdfs(pages_stream.filter(sniff))
+    return html_rows.select(*EXTRACTED_SCHEMA.fieldNames()).unionByName(pdf_rows)

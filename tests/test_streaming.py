@@ -302,3 +302,50 @@ def test_stream_job_cli_dedup(corpus_rows, tmp_path):
     assert lines, out.stdout[-500:] + out.stderr[-1500:]
     res = json.loads(lines[-1])
     assert res["rows_in_sink"] == 60 and res["dedup"] is True
+
+
+def test_routed_stream_matches_batch_router(spark, corpus_rows, tmp_path):
+    """Streaming html/pdf routing == batch extract_any on the same mixed
+    table (availableNow replay)."""
+    import datetime as dt
+
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import extract_any
+    from manga_translator_spark.streaming.extract_stream import routed_extract_stream
+
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [dict(r) for r in corpus_rows[:30]]
+    for r in rows:
+        r["warc_ts"] = t0
+    pdfs = [
+        {
+            "url": f"pdf://s/{i}",
+            "warc_ts": t0,
+            "html": make_pdf([(72, 600, 11, f"stream pdf {i}"), (72, 700, 14, f"S{i}")]),
+            "text": "",
+            "lang": "en",
+        }
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows + pdfs), schema=PAGES_SCHEMA)
+    path = str(tmp_path / "mixed_pages")
+    df.repartition(2).write.parquet(path)
+
+    out = routed_extract_stream(read_pages_stream(spark, path))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("routed_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt_routed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"]: (r["extracted_text"], r["n_blocks"])
+        for r in spark.sql("select * from routed_mem").collect()
+    }
+    exp = {
+        r["url"]: (r["extracted_text"], r["n_blocks"])
+        for r in extract_any(df).collect()
+    }
+    assert got == exp and len(got) == 38
