@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="digest-state eviction horizon (with --dedup)")
     p.add_argument("--quality", action="store_true",
                    help="keep only pages passing the Gopher rules")
+    p.add_argument("--route-pdf", action="store_true",
+                   help="route %%PDF- payloads through the PDF layout kernel")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--follow", action="store_true",
                    help="keep running on new files instead of draining once")
@@ -57,12 +59,14 @@ def main(argv: list[str] | None = None) -> int:
         dedup_pages_stream,
         extract_stream,
         read_pages_stream,
+        routed_extract_stream,
     )
 
     stream = read_pages_stream(spark, args.input, args.max_files_per_trigger)
     if args.dedup:
         stream = dedup_pages_stream(stream, args.watermark)
-    out = extract_stream(stream, PipelineConfig())
+    extractor = routed_extract_stream if args.route_pdf else extract_stream
+    out = extractor(stream, PipelineConfig())
     if args.quality:
         out = out.filter(gopher_keep_condition("extracted_text"))
 
@@ -89,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec": round(time.time() - t0, 3),
         "dedup": bool(args.dedup),
         "quality": bool(args.quality),
+        "route_pdf": bool(args.route_pdf),
     }))
     spark.stop()
     return 0
