@@ -13,7 +13,6 @@ from manga_translator_spark.functions.pdf import (
 )
 from manga_translator_spark.operators.pdf_extract import (
     extract_any,
-    extract_pdfs,
     pdf_extract_kernel,
 )
 from manga_translator_spark.schema import PAGES_SCHEMA
@@ -35,6 +34,7 @@ def test_round_trip_reading_order():
         "sidebar right of title",
         "body paragraph, stream-first but reading-second.",
     ]
+    assert extract_pdf_text(pdf) == " ".join(texts)
 
 
 def test_string_escapes_and_operators():
