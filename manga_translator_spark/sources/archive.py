@@ -38,8 +38,11 @@ def read_archives(spark: "SparkSession", path_glob: str) -> "DataFrame":
 
 
 def explode_archive_members(archives: "DataFrame") -> "DataFrame":
-    """(path, content) -> one row per .html member, members sorted.
+    """(path, content) -> one row per .html/.htm/.pdf member, sorted.
 
+    PDF members ride in the same ``html`` payload column — the engine's
+    content-type router (operators/pdf_extract.extract_any) dispatches on
+    the payload magic downstream, exactly as with a mixed crawl table.
     Truncated/invalid zips yield zero rows rather than failing the task
     (a crashed archive must not kill the bucket; the lineage table records
     counts).  Member order inside each archive is sorted by name — the
@@ -54,7 +57,7 @@ def explode_archive_members(archives: "DataFrame") -> "DataFrame":
                     zf = zipfile.ZipFile(io.BytesIO(blob))
                     names = sorted(
                         n for n in zf.namelist()
-                        if n.endswith((".html", ".htm")) and not n.endswith("/")
+                        if n.endswith((".html", ".htm", ".pdf")) and not n.endswith("/")
                     )
                     for name in names:
                         out["archive"].append(path)

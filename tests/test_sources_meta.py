@@ -100,3 +100,34 @@ def test_describe_registry():
     import json
 
     json.dumps(info)  # the whole payload is JSON-serializable (served as-is)
+
+
+def test_archive_pdf_members_route_through_pdf_kernel(spark, corpus_rows):
+    """A zip mixing html and pdf members: the explode keeps both, and
+    extract_any routes each member to the right kernel."""
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import (
+        extract_any,
+        pdf_extract_kernel,
+    )
+
+    pdf_payload = make_pdf([(72, 600, 11, "archived pdf body"), (72, 700, 14, "APDF")])
+    blob = _zip_bytes(
+        {
+            "b_doc.pdf": pdf_payload,
+            "a_page.html": corpus_rows[4]["html"],
+            "skip.txt": b"neither",
+        }
+    )
+    members = explode_archive_members(_archives_df(spark, {"mix.zip": blob}))
+    rows = members.collect()
+    assert [r["member"] for r in rows] == ["a_page.html", "b_doc.pdf"]
+    pages = members.select(
+        F.concat_ws("!", "archive", "member").alias("url"), "html"
+    )
+    out = {r["url"]: r for r in extract_any(pages).collect()}
+    exp_text, _, _ = pdf_extract_kernel(pdf_payload)
+    assert out["mix.zip!b_doc.pdf"]["extracted_text"] == exp_text == "APDF archived pdf body"
+    assert out["mix.zip!a_page.html"]["n_blocks"] >= 0  # html branch ran
