@@ -422,6 +422,22 @@ def _q_extract_routed(spark, sf):
     )
 
 
+def _q_extract_delta(spark, sf):
+    """Content-level incremental extraction: pages whose (url, digest) a
+    previous run already produced are anti-joined away; the twin is the
+    flagship twin restricted to the not-yet-extracted residue."""
+    from manga_translator_spark.sources.lineage import extract_delta
+
+    _ensure_shipped(spark)
+    pages = _pages_from_documents(spark, sf)
+    prev = pages.filter(F.expr("cast(substring(url, 7) as int) % 4 = 0")).select(
+        "url", F.md5("html").alias("digest")
+    )
+    return extract_delta(pages, prev, PipelineConfig()).select(
+        "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
+    )
+
+
 def _q_stream_dedup_digests(spark, sf):
     """STREAMING driver query with a full hash-checked twin: watermarked
     exact dedup (dropDuplicatesWithinWatermark keyed on the html digest)
@@ -595,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_digests": _q_stream_dedup_digests,
         "pdf_extract": _q_pdf_extract,
         "extract_routed": _q_extract_routed,
+        "extract_delta": _q_extract_delta,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -1281,6 +1298,11 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
       )
+    """
+
+    sql["extract_delta"] = f"""
+      SELECT * FROM ({sql['extract_pipeline']})
+      WHERE cast(substring(url, 7) AS INT) % 4 <> 0
     """
 
     sql["extract_routed"] = f"""

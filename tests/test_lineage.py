@@ -104,3 +104,28 @@ def test_routed_run_extracts_mixed_html_pdf(spark, corpus_rows, tmp_path):
     lineage = read_lineage(spark, lin).collect()
     assert sum(r["rows_in"] for r in lineage) == 42
     assert all(r["rows_in"] == r["rows_out"] and r["rows_in_exact"] for r in lineage)
+
+
+def test_extract_delta_skips_unchanged_reextracts_changed(spark, corpus_rows):
+    """(url, digest) anti-join semantics: unchanged pages skip, a url with
+    CHANGED bytes re-extracts, brand-new urls extract."""
+    import pandas as pd
+
+    from manga_translator_spark.schema import PAGES_SCHEMA
+    from manga_translator_spark.sources.lineage import extract_delta
+
+    rows = [dict(r) for r in corpus_rows[:20]]
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    # previous run saw the first 10 urls; url[0] has since CHANGED bytes
+    prev_rows = rows[:10]
+    prev = spark.createDataFrame(
+        pd.DataFrame(prev_rows), schema=PAGES_SCHEMA
+    ).select("url", F.md5("html").alias("digest"))
+    changed = dict(rows[0])
+    changed["html"] = changed["html"] + b"<!-- updated -->"
+    pages2 = spark.createDataFrame(
+        pd.DataFrame([changed] + rows[1:]), schema=PAGES_SCHEMA
+    )
+    out_urls = {r["url"] for r in extract_delta(pages2, prev).select("url").collect()}
+    expected = {changed["url"]} | {r["url"] for r in rows[10:]}
+    assert out_urls == expected  # urls 1..9 unchanged -> skipped
