@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--assembler", default="arrays")
     p.add_argument("--enricher", default="pipe")
     p.add_argument("--repair", default="none", help="gray-zone repair model (none|model)")
+    p.add_argument("--prev", help="previous crawl snapshot (pages parquet) or a "
+                   "(url, digest) manifest: pages with an identical digest "
+                   "there are skipped (content-level incremental crawl)")
     p.add_argument("--route-pdf", action="store_true",
                    help="route %%PDF- payloads through the PDF layout kernel "
                         "(mixed html/pdf tables)")
@@ -86,6 +89,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.input
             else corpus_df(spark, args.n_pages)
         )
+        if args.prev:
+            from pyspark.sql import functions as F
+
+            prev_df = spark.read.parquet(args.prev)
+            prev = (
+                prev_df.select("url", F.md5("html").alias("digest"))
+                if "html" in prev_df.columns
+                else prev_df.select("url", "digest")
+            )
+            cur = pages.withColumn("digest", F.md5("html"))
+            pages = cur.join(prev, ["url", "digest"], "left_anti").drop("digest")
         if args.until:
             from manga_translator_spark.plans.pipeline import extract
 
