@@ -422,6 +422,32 @@ def _q_extract_routed(spark, sf):
     )
 
 
+def _q_latest_snapshot(spark, sf):
+    """Multi-snapshot crawl table -> one (newest) row per url.  Every
+    third document gets a one-day-later re-crawl with changed bytes; the
+    winner's digest must be the v2 bytes for those urls and v1 otherwise
+    (timestamps never leave the query — digest-only output sidesteps
+    timestamp canonicalization entirely)."""
+    from manga_translator_spark.operators.dedup import latest_snapshot
+
+    base = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    recrawl = (
+        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
+        .withColumn(
+            "html", F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "utf-8"))
+        )
+    )
+    snaps = base.unionByName(recrawl)
+    return latest_snapshot(snaps).select("url", F.md5("html").alias("digest"))
+
+
 def _q_extract_delta(spark, sf):
     """Content-level incremental extraction: pages whose (url, digest) a
     previous run already produced are anti-joined away; the twin is the
@@ -612,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "extract_routed": _q_extract_routed,
         "extract_delta": _q_extract_delta,
+        "latest_snapshot": _q_latest_snapshot,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -1298,6 +1325,15 @@ def oracle_sql() -> dict[str, str]:
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
       )
+    """
+
+    sql["latest_snapshot"] = f"""
+      SELECT 'doc://' || doc_id::VARCHAR AS url,
+             CASE WHEN doc_id % 3 = 0
+                  THEN md5('{_PAGE_PRE}' || text || '{_PAGE_POST}' || '<!--v2-->')
+                  ELSE md5('{_PAGE_PRE}' || text || '{_PAGE_POST}')
+             END AS digest
+      FROM documents
     """
 
     sql["extract_delta"] = f"""

@@ -297,3 +297,27 @@ def simhash(docs: "DataFrame", text_col: str = "text", n_bits: int = SIMHASH_BIT
         spread(docs).withColumn("hashes", F.expr(f"transform({toks}, t -> {th})"))
         .select("doc_id", F.expr(expr).alias("simhash"))
     )
+
+
+def latest_snapshot(pages: "DataFrame") -> "DataFrame":
+    """Keep the newest crawl of each url (a Common-Crawl table carries
+    many snapshots per url; extraction wants exactly one).
+
+    Window rank over (warc_ts DESC, digest DESC tiebreak) per url,
+    rank = 1 — Spark 4 pushes a partial WindowGroupLimit below the
+    exchange (the rank<=k rule, tests/test_plans.py), so the shuffle
+    carries one candidate row per (partition, url), not every snapshot.
+    The url-hash shuffle is unavoidable (snapshots of a url land in
+    different ingest files) and is the same key the bucketing layer
+    already uses downstream.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.md5("html"))
+    )
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

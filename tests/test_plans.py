@@ -222,3 +222,24 @@ def test_extract_any_router_pushes_sniff_to_scan(spark, tmp_path, pages_df):
     assert "Exchange" not in plan
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert all("url" in l and "html" in l and "lang" not in l for l in read_schemas)
+
+
+def test_latest_snapshot_window_is_rank_limited(spark, tmp_path, pages_df):
+    """The newest-snapshot window must get the partial WindowGroupLimit
+    below the exchange (one candidate per partition+url crosses the
+    shuffle, not every snapshot)."""
+    from manga_translator_spark.operators.dedup import latest_snapshot
+
+    path = str(tmp_path / "snaps")
+    pages_df.write.parquet(path)
+    plan = _plan(latest_snapshot(spark.read.parquet(path)))
+    assert "WindowGroupLimit" in plan
+    # partial limit appears BEFORE the exchange in the tree
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    first_wgl = min(i for i, l in enumerate(lines) if "WindowGroupLimit" in l)
+    last_wgl = max(i for i, l in enumerate(lines) if "WindowGroupLimit" in l)
+    exch = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert exch and first_wgl < exch[0] < last_wgl or len(
+        [i for i in range(len(lines)) if "WindowGroupLimit" in lines[i]]
+    ) >= 2
