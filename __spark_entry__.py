@@ -422,6 +422,42 @@ def _q_extract_routed(spark, sf):
     )
 
 
+# messy-URL template: every doc_id yields a differently-messy spelling of
+# a canonical target; collisions across doc_ids are intentional (40 hosts
+# x 25 paths).  Spark and DuckDB build the SAME bytes from the same
+# constants, then canonicalize with their engine's urlnorm fragment.
+_MESSY_URL_SPARK = (
+    "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, "
+    "'://WWW.Site', CAST(doc_id % 40 AS STRING), '.COM', "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END, "
+    "'/page/', CAST(doc_id % 25 AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)"
+)
+_MESSY_URL_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || "
+    "'://WWW.Site' || (doc_id % 40)::VARCHAR || '.COM' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || "
+    "'/page/' || (doc_id % 25)::VARCHAR || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)"
+)
+
+
+def _q_url_canonical_dedup(spark, sf):
+    """Crawl-tier URL canonicalization + dedup: messy spellings (case,
+    default ports, fragments, param order) collapse onto their canonical
+    target; output counts variants per canonical url."""
+    from manga_translator_spark.operators.dedup import dedup_canonical_url
+
+    messy = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_MESSY_URL_SPARK).alias("url")
+    )
+    return dedup_canonical_url(messy)
+
+
 def _q_latest_snapshot(spark, sf):
     """Multi-snapshot crawl table -> one (newest) row per url.  Every
     third document gets a one-day-later re-crawl with changed bytes; the
@@ -639,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_routed": _q_extract_routed,
         "extract_delta": _q_extract_delta,
         "latest_snapshot": _q_latest_snapshot,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -1334,6 +1371,16 @@ def oracle_sql() -> dict[str, str]:
                   ELSE md5('{_PAGE_PRE}' || text || '{_PAGE_POST}')
              END AS digest
       FROM documents
+    """
+
+    from manga_translator_spark.functions.urlnorm import canonical_url_duck
+
+    sql["url_canonical_dedup"] = f"""
+      SELECT {canonical_url_duck('url')} AS canon_url,
+             count(*) AS n_variants,
+             min(url) AS first_url
+      FROM (SELECT {_MESSY_URL_DUCK} AS url FROM documents)
+      GROUP BY 1
     """
 
     sql["extract_delta"] = f"""

@@ -1,0 +1,98 @@
+"""URL canonicalization — Spark + DuckDB twin fragments + Python oracle.
+
+A crawl pipeline dedups by CANONICAL url before anything content-level:
+``HTTP://WWW.Example.COM:80/p?b=2&a=1#frag`` and
+``http://www.example.com/p?a=1&b=2`` are the same fetch target.  The
+rules here are the deterministic, engine-portable core of the standard
+canonicalizers (RFC 3986 §6 + the common crawl conventions):
+
+1. strip the fragment (``#...`` never reaches the server);
+2. lowercase scheme + authority (host names are case-insensitive;
+   paths are NOT touched);
+3. drop a default port (``:80`` for http, ``:443`` for https);
+4. sort query parameters (``?b=2&a=1`` == ``?a=1&b=2`` for the
+   dominant-case servers; a documented normalization choice);
+5. drop a bare trailing ``?``.
+
+Each rule is expressed three ways from the same constants — a Spark SQL
+fragment, a DuckDB SQL fragment, and the plain-Python oracle — so the
+driver hash gate verifies all three agree (texthash.py discipline).
+Backreference syntax differs ($1 vs \\1), which is why the fragments are
+built per engine rather than shared text.
+"""
+
+from __future__ import annotations
+
+DEFAULT_PORTS = (("http", "80"), ("https", "443"))
+
+
+def canonical_url_py(url: str) -> str:
+    """Plain-Python oracle (tests + kernel callers)."""
+    u = url.split("#", 1)[0]
+    # lowercase scheme://authority
+    if "//" in u:
+        head, sep, rest = u.partition("//")
+        auth, sep2, tail = rest.partition("/")
+        u = head.lower() + sep + auth.lower() + sep2 + tail
+    for scheme, port in DEFAULT_PORTS:
+        pre = scheme + "://"
+        if u.startswith(pre):
+            hostport = u[len(pre):].split("/", 1)[0].split("?", 1)[0]
+            if hostport.endswith(":" + port):
+                u = pre + hostport[: -len(port) - 1] + u[len(pre) + len(hostport):]
+    if "?" in u:
+        base, _, q = u.partition("?")
+        params = [p for p in q.split("&") if p]
+        u = base + ("?" + "&".join(sorted(params)) if params else "")
+    return u
+
+
+def canonical_url_spark(col: str) -> str:
+    """Spark SQL expression fragment computing the same canonical form."""
+    no_frag = f"regexp_replace({col}, '#.*', '')"
+    # lowercase scheme://authority, keep path+query byte-exact
+    lowered = (
+        f"concat(lower(regexp_extract({no_frag}, '^([^/?]*//[^/?]*)', 1)), "
+        f"regexp_replace({no_frag}, '^[^/?]*//[^/?]*', ''))"
+    )
+    deported = lowered
+    for scheme, port in DEFAULT_PORTS:
+        deported = (
+            f"regexp_replace({deported}, "
+            f"'^{scheme}://([^/:?]*):{port}([/?]|$)', '{scheme}://$1$2')"
+        )
+    # sort query params via the let-binding idiom (tokenize once)
+    return (
+        "element_at(transform(array(" + deported + "), u -> "
+        "CASE WHEN instr(u, '?') = 0 THEN u ELSE "
+        "element_at(transform(array(filter(split(substr(u, instr(u, '?') + 1), '&'), "
+        "p -> p != '')), ps -> "
+        "CASE WHEN size(ps) = 0 THEN substr(u, 1, instr(u, '?') - 1) "
+        "ELSE concat(substr(u, 1, instr(u, '?') - 1), '?', "
+        "array_join(sort_array(ps), '&')) END), 1) END), 1)"
+    )
+
+
+def canonical_url_duck(col: str) -> str:
+    """DuckDB SQL expression fragment — same rules, \\1 backrefs."""
+    no_frag = f"regexp_replace({col}, '#.*', '')"
+    lowered = (
+        f"lower(regexp_extract({no_frag}, '^([^/?]*//[^/?]*)', 1)) || "
+        f"regexp_replace({no_frag}, '^[^/?]*//[^/?]*', '')"
+    )
+    deported = f"({lowered})"
+    for scheme, port in DEFAULT_PORTS:
+        deported = (
+            f"regexp_replace({deported}, "
+            f"'^{scheme}://([^/:?]*):{port}([/?]|$)', '{scheme}://\\1\\2')"
+        )
+    return f"""
+      CASE WHEN strpos({deported}, '?') = 0 THEN {deported} ELSE (
+        CASE WHEN len(list_filter(string_split(substr({deported},
+                 strpos({deported}, '?') + 1), '&'), p -> p != '')) = 0
+             THEN substr({deported}, 1, strpos({deported}, '?') - 1)
+             ELSE substr({deported}, 1, strpos({deported}, '?') - 1) || '?' ||
+                  array_to_string(list_sort(list_filter(string_split(
+                      substr({deported}, strpos({deported}, '?') + 1), '&'),
+                      p -> p != '')), '&')
+        END) END"""

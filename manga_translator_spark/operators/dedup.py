@@ -321,3 +321,26 @@ def latest_snapshot(pages: "DataFrame") -> "DataFrame":
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def dedup_canonical_url(df: "DataFrame", url_col: str = "url") -> "DataFrame":
+    """URL-level dedup: group by CANONICAL url (functions/urlnorm.py —
+    fragment stripped, scheme/host lowercased, default port dropped, query
+    params sorted) and count the variants that collapse together.
+
+    This runs BEFORE any content fetch/parse in a crawl pipeline — at
+    100 TB the shuffle key is the canonical string and the payoff is every
+    skipped duplicate fetch.  Output: (canon_url, n_variants,
+    first_url) with first_url = lexicographic min of the raw variants
+    (the deterministic representative).
+    """
+    from manga_translator_spark.functions.urlnorm import canonical_url_spark
+
+    return (
+        df.withColumn("canon_url", F.expr(canonical_url_spark(url_col)))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min(url_col).alias("first_url"),
+        )
+    )

@@ -155,6 +155,53 @@ def test_repetition_stats_fuzz_vs_python_counter(spark):
         assert r["dup_trigram_ppm"] == ppm(len(tg) - len(set(tg)), len(tg))
 
 
+
+
+def test_canonical_url_three_way_parity(spark):
+    """functions/urlnorm.py: the Python oracle, the Spark fragment, and
+    the DuckDB fragment agree on a matrix of messy URLs (case, default
+    and non-default ports, fragments, bare/empty/sorted queries,
+    non-http schemes, schemeless strings)."""
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.functions.urlnorm import (
+        canonical_url_duck,
+        canonical_url_py,
+        canonical_url_spark,
+    )
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/p?b=2&a=1#frag",
+        "http://www.example.com/p?a=1&b=2",
+        "https://Host.Org:443/x/y?z=9",
+        "https://host.org:8443/x",
+        "http://host/no-port",
+        "http://host:80",
+        "http://host:80?q=1",
+        "HtTpS://MiXeD.cAsE/Path/Is/KEPT",
+        "http://h/p?",
+        "http://h/p?single",
+        "ftp://Weird.Scheme:80/x",
+        "no-scheme-at-all",
+        "http://h/p#only-frag",
+        "http://h/p?b=2&a=1&",
+    ]
+    py = [canonical_url_py(u) for u in urls]
+    assert py[0] == py[1] == "http://www.example.com/p?a=1&b=2"
+    assert py[3].endswith(":8443/x")  # non-default port kept
+    assert py[10] == "ftp://weird.scheme:80/x"  # :80 only default for http
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"u": urls}))
+    duck = [r[0] for r in con.execute(f"SELECT {canonical_url_duck('u')} FROM t").fetchall()]
+    sp = [
+        r[0]
+        for r in spark.createDataFrame(pd.DataFrame({"u": urls}))
+        .select(F.expr(canonical_url_spark("u")))
+        .collect()
+    ]
+    assert py == duck == sp
+
+
 if __name__ == "__main__":
     import sys
 
