@@ -446,6 +446,32 @@ _MESSY_URL_DUCK = (
 )
 
 
+# deterministic PII injection: every doc gets a known payload class so the
+# scrubber has real work; Spark and DuckDB build the same injected bytes.
+_PII_INJECT_SPARK = (
+    "concat(text, CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN ' contact bob@example.com now' "
+    "WHEN 1 THEN ' server at 10.1.2.3 up' "
+    "WHEN 2 THEN ' call 555-123-4567 today' ELSE '' END)"
+)
+_PII_INJECT_DUCK = (
+    "(text || CASE (doc_id % 4) "
+    "WHEN 0 THEN ' contact bob@example.com now' "
+    "WHEN 1 THEN ' server at 10.1.2.3 up' "
+    "WHEN 2 THEN ' call 555-123-4567 today' ELSE '' END)"
+)
+
+
+def _q_scrub_pii(spark, sf):
+    """PII redaction over documents with injected payloads: counts on the
+    pre-redaction text plus the md5 of the redacted bytes (the twin
+    verifies exact redaction without shipping text)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_INJECT_SPARK).alias("text")
+    )
+    return text_analysis.scrub_pii(docs)
+
+
 def _q_url_canonical_dedup(spark, sf):
     """Crawl-tier URL canonicalization + dedup: messy spellings (case,
     default ports, fragments, param order) collapse onto their canonical
@@ -676,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_delta": _q_extract_delta,
         "latest_snapshot": _q_latest_snapshot,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "scrub_pii": _q_scrub_pii,
         "training_corpus": _q_training_corpus,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
@@ -1381,6 +1408,22 @@ def oracle_sql() -> dict[str, str]:
              min(url) AS first_url
       FROM (SELECT {_MESSY_URL_DUCK} AS url FROM documents)
       GROUP BY 1
+    """
+
+    # DuckDB regexp_replace is single-occurrence by default: the 'g' flag
+    # is REQUIRED to match Spark's global replace.
+    _pii = text_analysis.PII_RULES
+    _pii_scrub = _PII_INJECT_DUCK
+    for _, _pat, _tok in _pii:
+        _pii_scrub = f"regexp_replace({_pii_scrub}, '{_pat}', '{_tok}', 'g')"
+    sql["scrub_pii"] = f"""
+      SELECT doc_id,
+             {", ".join(
+                 f"CAST(len(regexp_extract_all({_PII_INJECT_DUCK}, '{pat}')) AS BIGINT) AS n_{name}"
+                 for name, pat, _ in _pii
+             )},
+             md5({_pii_scrub}) AS scrubbed_fp
+      FROM documents
     """
 
     sql["extract_delta"] = f"""

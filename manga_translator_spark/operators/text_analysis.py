@@ -365,3 +365,44 @@ def repetition_stats(
             ),
         )
     )
+
+
+# PII scrubbing (the redaction pass every public-web training pipeline
+# runs): conservative, uniform-token replacement.  Patterns are written in
+# the common subset of Java regex (Spark) and RE2 (DuckDB) — no lookarounds,
+# \b supported by both — and applied in a fixed order (emails first: an
+# address would otherwise leave its host behind after IP scrubbing).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-doc PII redaction + hit counts, pure codegen, zero shuffle.
+
+    Output: doc_id, n_email/n_ip/n_phone (BIGINT hit counts on the
+    PRE-redaction text), scrubbed_fp (md5 of the redacted text — the twin
+    verifies the exact redacted bytes without shipping them).
+    """
+    # Spark SQL string literals process backslash escapes: '\d' in the SQL
+    # text reaches the regex engine as 'd'.  Double them here; the DuckDB
+    # twin embeds the raw patterns (standard SQL strings keep backslashes).
+    def _sq(pat: str) -> str:
+        return pat.replace("\\", "\\\\")
+
+    counts = [
+        F.expr(
+            f"CAST(size(regexp_extract_all({text_col}, '{_sq(pat)}', 0)) AS BIGINT)"
+        ).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    scrubbed = text_col
+    for _, pat, token in PII_RULES:
+        scrubbed = f"regexp_replace({scrubbed}, '{_sq(pat)}', '{token}')"
+    return spread(docs).select(
+        "doc_id",
+        *counts,
+        F.expr(f"md5({scrubbed})").alias("scrubbed_fp"),
+    )

@@ -202,6 +202,39 @@ def test_canonical_url_three_way_parity(spark):
     assert py == duck == sp
 
 
+
+
+def test_scrub_pii_exact_redaction(spark):
+    """Known payloads redact to exact bytes (md5-pinned); multiple hits in
+    one doc all redact (global replace); clean docs pass through."""
+    import hashlib
+
+    from manga_translator_spark.operators.text_analysis import scrub_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a@b.co and c@d.org plus 1.2.3.4 and 555-123-4567",
+                    "clean",
+                    "edge +001 555-123-4567 wrapped a@b.io.",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (2, 1, 1)
+    assert got[0]["scrubbed_fp"] == hashlib.md5(
+        b"<EMAIL> and <EMAIL> plus <IP> and <PHONE>"
+    ).hexdigest()
+    assert got[1] == {
+        "doc_id": 1, "n_email": 0, "n_ip": 0, "n_phone": 0,
+        "scrubbed_fp": hashlib.md5(b"clean").hexdigest(),
+    }
+    assert got[2]["n_email"] == 1 and got[2]["n_phone"] == 1
+
+
 if __name__ == "__main__":
     import sys
 
