@@ -510,6 +510,42 @@ def _q_latest_snapshot(spark, sf):
     return latest_snapshot(snaps).select("url", F.md5("html").alias("digest"))
 
 
+def _q_crawl_refresh(spark, sf):
+    """Composed crawl-refresh pipeline: multi-snapshot table -> newest
+    snapshot per url -> full extraction.  The re-crawl CHANGES the article
+    text (' v2' suffix inside the paragraph), so the hash gate proves the
+    winner's content — not just its digest — flows through extraction."""
+    from manga_translator_spark.operators.dedup import latest_snapshot
+
+    base = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    recrawl = (
+        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
+        .withColumn(
+            "html",
+            F.encode(
+                F.replace(
+                    F.decode("html", "utf-8"),
+                    F.lit("</p></article>"),
+                    F.lit(" v2</p></article>"),
+                ),
+                "utf-8",
+            ),
+        )
+    )
+    snaps = base.unionByName(recrawl)
+    _ensure_shipped(spark)
+    return extract(latest_snapshot(snaps), PipelineConfig()).select(
+        "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
+    )
+
+
 def _q_extract_delta(spark, sf):
     """Content-level incremental extraction: pages whose (url, digest) a
     previous run already produced are anti-joined away; the twin is the
@@ -701,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_routed": _q_extract_routed,
         "extract_delta": _q_extract_delta,
         "latest_snapshot": _q_latest_snapshot,
+        "crawl_refresh": _q_crawl_refresh,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "scrub_pii": _q_scrub_pii,
         "training_corpus": _q_training_corpus,
@@ -1424,6 +1461,26 @@ def oracle_sql() -> dict[str, str]:
              )},
              md5({_pii_scrub}) AS scrubbed_fp
       FROM documents
+    """
+
+    # crawl-refresh twin: same flagship body over the re-crawl-winning
+    # text (' v2' suffix for every third doc — the newest snapshot).
+    sql["crawl_refresh"] = f"""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents
+      ),
+      norm AS (
+        SELECT 'doc://' || doc_id::VARCHAR AS url, {_norm} AS t FROM src
+      )
+      SELECT url,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS} THEN t ELSE '' END AS extracted_text,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS} THEN 1 ELSE 0 END AS n_blocks,
+             CASE WHEN length(t) >= {MIN_MAIN_CHARS}
+                  THEN '[{{"block_idx":1,"start":0,"end":' || length(t)::VARCHAR || '}}]'
+                  ELSE '[]' END AS spans_json
+      FROM norm
     """
 
     sql["extract_delta"] = f"""
