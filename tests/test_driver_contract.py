@@ -41,3 +41,19 @@ def test_oracle_coverage(spark):
     assert oracles <= qs
     rows_only = qs - oracles
     assert rows_only == set()  # every query has a DuckDB twin (r02)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_contract_green_under_foreign_session_timezone(spark):
+    """The driver's session may not pin UTC: every query must stay
+    hash-green under Asia/Tokyo (timestamp literals are used consistently
+    within each query and no comparable schema carries a raw timestamp;
+    user_sessions save/restores the TZ itself)."""
+    from scripts.check_contract import run_check
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        assert run_check(spark, SF_DIR) == 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
