@@ -49,6 +49,9 @@ QUERY_NAMES = (
     "doc_wrap_lines",
     "doc_bpe_tokens",
     "doc_repetition",
+    "scrub_pii",
+    "url_canonical_dedup",
+    "latest_snapshot",
     "pdf_extract",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
