@@ -235,6 +235,57 @@ def test_scrub_pii_exact_redaction(spark):
     assert got[2]["n_email"] == 1 and got[2]["n_phone"] == 1
 
 
+
+
+def test_canonical_url_fuzz_three_way(spark):
+    """200 randomized URL-ish strings (random case, ports, params, frags,
+    junk): Python oracle == Spark fragment == DuckDB fragment on every
+    one.  Idempotence: canonicalizing twice is a no-op."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.functions.urlnorm import (
+        canonical_url_duck,
+        canonical_url_py,
+        canonical_url_spark,
+    )
+
+    rng = random.Random(11)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", ""]
+    hosts = ["Example.COM", "a.b.c.ORG", "host", "WWW.X.io", "127.0.0.1"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/Path/Mixed", "/p", "/a/b/c"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?z=9&y=8&x=7", "?dup=1&dup=0", "?&"]
+    frags = ["", "#f", "#Frag/with/slash?q=1"]
+    urls = []
+    for _ in range(200):
+        sch = rng.choice(schemes)
+        base = (sch + "://" if sch else "") + rng.choice(hosts)
+        urls.append(
+            base + rng.choice(ports) + rng.choice(paths)
+            + rng.choice(queries) + rng.choice(frags)
+        )
+    py = [canonical_url_py(u) for u in urls]
+    assert py == [canonical_url_py(c) for c in py]  # idempotent
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "u": urls}))
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_duck('u')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"i": range(len(urls)), "u": urls}))
+    sp = [
+        r[1]
+        for r in sorted(
+            sdf.select("i", F.expr(canonical_url_spark("u")).alias("c")).collect()
+        )
+    ]
+    assert py == duck == sp
+
+
 if __name__ == "__main__":
     import sys
 
