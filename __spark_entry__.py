@@ -356,6 +356,10 @@ def _q_doc_bpe_tokens(spark, sf):
     return text_analysis.bpe_token_stats(_t(spark, sf, "documents"))
 
 
+def _q_token_surprise(spark, sf):
+    return text_analysis.token_surprise(_t(spark, sf, "documents"))
+
+
 def _q_doc_repetition(spark, sf):
     return text_analysis.repetition_stats(_t(spark, sf, "documents"))
 
@@ -732,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_wrap_lines": _q_doc_wrap_lines,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
+        "token_surprise": _q_token_surprise,
         "stream_dedup_digests": _q_stream_dedup_digests,
         "pdf_extract": _q_pdf_extract,
         "extract_routed": _q_extract_routed,
@@ -1209,6 +1214,20 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["doc_repetition"] = _repetition_select("documents")
+
+    # corpus-relative rarity twin: same integer surprise (1e6 // freq),
+    # same tokenizer; empty-token docs drop from BOTH sides (explode /
+    # unnest both skip empty arrays).  sum() in DuckDB is HUGEINT — cast
+    # before the integer division (the user_sessions lesson).
+    sql["token_surprise"] = f"""
+      WITH t AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+      ex AS (SELECT doc_id, len(tokens) AS n_tokens, unnest(tokens) AS tok FROM t),
+      freq AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(sum(1000000 // cnt) AS BIGINT) // n_tokens AS surprise_ppm
+      FROM ex JOIN freq USING (tok)
+      GROUP BY doc_id, n_tokens
+    """
 
     # Streaming dedup twin: the kept-row digest set after watermarked
     # exact dedup == DISTINCT md5 of the synthesized page html (re-fetch

@@ -406,3 +406,39 @@ def scrub_pii(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
         *counts,
         F.expr(f"md5({scrubbed})").alias("scrubbed_fp"),
     )
+
+
+def token_surprise(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Corpus-relative rarity scoring — the integer-exact stand-in for
+    CCNet-style LM-perplexity bucketing (no LM in this sandbox; 1/freq
+    self-information keeps the ordering signal and the twin exact).
+
+    Two stages, the canonical scalable shape:
+      1. corpus token frequencies — explode + groupBy(token): partial
+         (map-side) aggregation does the heavy lifting, the shuffle
+         carries one row per distinct token per partition;
+      2. score — join each doc's tokens back against the frequency table
+         (at 100 TB the frequency table is Zipf-small after aggregation —
+         broadcastable for real corpora) and average the per-token
+         surprise ``1_000_000 DIV cnt``.
+
+    Output: doc_id, n_tokens, surprise_ppm (integer) — high = rare
+    vocabulary (gibberish-ish), low = corpus-dominant boilerplate.
+    """
+    toks = with_tokens(docs, text_col).select(
+        "doc_id", "n_tokens", F.explode("tokens").alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum(F.expr("CAST(1000000 AS BIGINT) DIV cnt")).alias("surprise_sum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE surprise_sum DIV n_tokens END"
+            ).alias("surprise_ppm"),
+        )
+    )

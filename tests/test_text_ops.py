@@ -286,6 +286,25 @@ def test_canonical_url_fuzz_three_way(spark):
     assert py == duck == sp
 
 
+
+
+def test_token_surprise_hand_case(spark):
+    """Hand-computed corpus: freq('a')=3, freq('b')=2, freq('zz')=1.
+    surprise('a') = 1e6 DIV 3 = 333333, 'b' = 500000, 'zz' = 1000000."""
+    from manga_translator_spark.operators.text_analysis import token_surprise
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b", "a b zz", "a"]})
+    )
+    got = {r["doc_id"]: r.asDict() for r in token_surprise(docs).collect()}
+    assert got[0]["surprise_ppm"] == (333333 + 500000) // 2
+    assert got[1]["surprise_ppm"] == (333333 + 500000 + 1000000) // 3
+    assert got[2]["surprise_ppm"] == 333333 and got[2]["n_tokens"] == 1
+    # empty-token doc drops (explode semantics, mirrored by the twin)
+    docs2 = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["..."]}))
+    assert token_surprise(docs2).count() == 0
+
+
 if __name__ == "__main__":
     import sys
 
