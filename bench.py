@@ -49,6 +49,7 @@ QUERY_NAMES = (
     "doc_wrap_lines",
     "doc_bpe_tokens",
     "doc_repetition",
+    "token_surprise",
     "scrub_pii",
     "url_canonical_dedup",
     "latest_snapshot",

@@ -243,3 +243,26 @@ def test_latest_snapshot_window_is_rank_limited(spark, tmp_path, pages_df):
     assert exch and first_wgl < exch[0] < last_wgl or len(
         [i for i in range(len(lines)) if "WindowGroupLimit" in lines[i]]
     ) >= 2
+
+
+def test_token_surprise_aggregates_map_side(spark, tmp_path):
+    """The token-count stage must partial-aggregate before its exchange
+    (the map-side combine that makes corpus word-count scale), and the
+    frequency table joins back via broadcast, not a second shuffle of the
+    exploded tokens."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.text_analysis import token_surprise
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b a", "b c"]})
+    ).write.parquet(path)
+    plan = _plan(token_surprise(spark.read.parquet(path)))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    # a partial HashAggregate strictly below (after) the first exchange line
+    exch = [i for i, l in enumerate(lines) if "Exchange" in l]
+    aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert exch and aggs and max(aggs) > min(exch), tree
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, tree
