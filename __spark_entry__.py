@@ -609,9 +609,16 @@ def _q_stream_dedup_digests(spark, sf):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        # materialize off the memory sink before the temp dir goes away
-        rows = spark.table(qn).select(F.md5("html").alias("digest"))
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_dedup_digests: availableNow run timed out")
+        # materialize off the memory sink before the temp dir goes away.
+        # The DISTINCT matches the twin's SELECT DISTINCT: two docs with
+        # identical text whose event times straddle the 30-min watermark
+        # can BOTH survive dropDuplicatesWithinWatermark across
+        # micro-batches — the digest SET is the deterministic contract,
+        # kept-row multiplicity is not (r3 review).
+        rows = spark.table(qn).select(F.md5("html").alias("digest")).distinct()
         return spark.createDataFrame(rows.toPandas())
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -1361,7 +1368,10 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["ann_in_bucket_topk"] = _emb_bands_cte() + f""",
       members AS (SELECT band_idx, bucket, unnest(ids) AS vec_id FROM ebuckets),
-      equeries AS (SELECT vec_id AS query_id, band_idx, bucket FROM ebands WHERE vec_id % 97 = 0),
+      eqids AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
+                ORDER BY vec_id LIMIT {similarity.MAX_QUERIES}),
+      equeries AS (SELECT vec_id AS query_id, band_idx, bucket FROM ebands
+                   WHERE vec_id IN (SELECT vec_id FROM eqids)),
       ecand AS (
         SELECT DISTINCT query_id, m.vec_id AS neighbor_id
         FROM equeries eq JOIN members m USING (band_idx, bucket)
@@ -1396,7 +1406,9 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rn = 1
       ),
-      ivfq AS (SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id % 97 = 0),
+      ivfq AS (SELECT vec_id AS query_id, cell FROM assigned
+               WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
+                                ORDER BY vec_id LIMIT {similarity.MAX_QUERIES})),
       ivfc AS (
         SELECT query_id, a.vec_id AS neighbor_id
         FROM ivfq JOIN assigned a USING (cell) WHERE a.vec_id != ivfq.query_id

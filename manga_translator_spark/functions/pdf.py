@@ -14,7 +14,8 @@ extractor needs, with zero dependencies:
   dictionaries for ``stream`` payloads, inflates ``/FlateDecode`` ones
   (zlib is stdlib), tokenizes content streams, tracks the text cursor
   through ``Td``/``TD``/``Tm``/``T*``, decodes PDF string escapes
-  (backslash pairs + octal), and emits positioned text runs.  Blocks are
+  (backslash pairs + octal) and hex strings (UTF-16BE with BOM, else
+  latin-1), and emits positioned text runs.  Blocks are
   returned in READING ORDER — top-down then left-right by cursor
   position, not stream order — which is the "layout parse" part: PDF
   content streams may emit text in any order, and span-correct
@@ -55,8 +56,21 @@ class PdfBlock(NamedTuple):
 
 
 def _esc(text: str) -> bytes:
-    out = text.encode("latin-1", "replace")
+    out = text.encode("latin-1")  # callers route non-latin-1 to _pdf_string
     return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _pdf_string(text: str) -> bytes:
+    """A PDF string token for ``text``: a literal ``(...)`` string when the
+    text is latin-1, else a hex string ``<FEFF...>`` in UTF-16BE with BOM
+    (ISO 32000 §7.9.2.2) — the round-trip is LOSSLESS either way.  The old
+    latin-1 'replace' encoding silently turned CJK fixtures into '?' while
+    the DuckDB twin expected the original text (r3 review)."""
+    try:
+        return b"(" + _esc(text) + b")"
+    except UnicodeEncodeError:
+        payload = ("\ufeff" + text).encode("utf-16-be")
+        return b"<" + payload.hex().upper().encode("ascii") + b">"
 
 
 def make_pdf(blocks: list[tuple[float, float, float, str]]) -> bytes:
@@ -65,8 +79,8 @@ def make_pdf(blocks: list[tuple[float, float, float, str]]) -> bytes:
     runs = []
     for x, y, size, text in blocks:
         runs.append(
-            b"BT /F1 %.2f Tf %.2f %.2f Td (%s) Tj ET"
-            % (size, x, y, _esc(text))
+            b"BT /F1 %.2f Tf %.2f %.2f Td %s Tj ET"
+            % (size, x, y, _pdf_string(text))
         )
     content = zlib.compress(b"\n".join(runs))
     objs = [
@@ -105,11 +119,16 @@ def make_pdf(blocks: list[tuple[float, float, float, str]]) -> bytes:
 _STREAM_RE = re.compile(
     rb"<<(?P<dict>[^<>]*)>>\s*stream\r?\n(?P<body>.*?)endstream", re.DOTALL
 )
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# A direct length only: '/Length 6 0 R' is an INDIRECT reference whose
+# digits are an object number, not a byte count — treating it as literal
+# would truncate the body (r3 review).  (?![0-9]) keeps the match from
+# backtracking '/Length 66 0 R' into a bogus '/Length 6'.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 
-# content-stream tokens we track: strings, arrays, numbers, operators
+# content-stream tokens we track: strings, hex strings, numbers, operators
 _TOK_RE = re.compile(
     rb"\((?P<str>(?:\\.|[^\\()])*)\)"  # (string) with escapes
+    rb"|<(?P<hex>[0-9A-Fa-f \t\r\n]*)>"  # <hex string> (ISO 32000 7.3.4.3)
     rb"|(?P<num>[+-]?\d*\.?\d+)"
     rb"|(?P<op>[A-Za-z'\"*]+)"
 )
@@ -142,6 +161,22 @@ def _unescape(raw: bytes) -> str:
         out += c
         i += 1
     return out.decode("latin-1")
+
+
+def _unhex(raw: bytes) -> str:
+    """Decode a hex-string payload: whitespace ignored, odd final digit
+    padded with 0 (spec), UTF-16BE when the bytes open with a BOM, else
+    latin-1 (the PDFDocEncoding ASCII range this kernel supports)."""
+    digits = b"".join(raw.split())
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        payload = bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        return ""
+    if payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", "replace")
+    return payload.decode("latin-1")
 
 
 def _content_streams(data: bytes) -> list[bytes]:
@@ -198,6 +233,10 @@ def _runs_from_stream(stream: bytes) -> list[PdfBlock]:
         if m.group("str") is not None:
             strings_since.append(_unescape(m.group("str")))
             stack.append(m.group("str"))
+            continue
+        if m.group("hex") is not None:
+            strings_since.append(_unhex(m.group("hex")))
+            stack.append(m.group("hex"))
             continue
         if m.group("num") is not None:
             stack.append(float(m.group("num")))

@@ -290,12 +290,12 @@ def _ivf_centroids(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
     )
 
 
-def _ivf_ranked(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
-    """(vec_id, cell, rn): every vector's centroids ranked by cosine —
+def _ranked_cells(vectors: "DataFrame", centroids: "DataFrame") -> "DataFrame":
+    """(vec_id, cell, rn): ``vectors``' centroids ranked by cosine —
     rn=1 is the assignment, rn<=nprobe is the query probe set."""
     scored = (
-        _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "e_norm")
-        .crossJoin(F.broadcast(_ivf_centroids(embeddings, n_cells)))
+        _with_norm(vectors.select("vec_id", "embedding"), "embedding", "e_norm")
+        .crossJoin(F.broadcast(centroids))
         .select(
             "vec_id",
             "cell",
@@ -306,6 +306,10 @@ def _ivf_ranked(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
     # so the DuckDB twin is the literal same SQL
     w = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cell"))
     return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _ivf_ranked(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
+    return _ranked_cells(embeddings, _ivf_centroids(embeddings, n_cells))
 
 
 def ivf_assignments(embeddings: "DataFrame", n_cells: int = IVF_N_CELLS) -> "DataFrame":
@@ -321,6 +325,8 @@ def ann_ivf_topk(
     query_mod: int = 97,
     n_cells: int = IVF_N_CELLS,
     nprobe: int = IVF_NPROBE,
+    queries: "DataFrame | None" = None,
+    max_queries: int = MAX_QUERIES,
 ) -> "DataFrame":
     """IVF ANN: exact cosine restricted to the query's ``nprobe`` nearest
     coarse cells.
@@ -332,6 +338,15 @@ def ann_ivf_topk(
     and the rank<=k window gets the same partial-WindowGroupLimit pushdown
     as cosine_topk.  Recall < 1 by design; the hyperplane-LSH family above
     is the recall-multiplying alternative.
+
+    The query side carries the same ``queries``/``max_queries`` contract as
+    :func:`cosine_topk` (VERDICT r03 #2): an explicit query DataFrame or
+    the deterministic ``vec_id % query_mod`` subset, either way hard-capped
+    at ``max_queries`` lowest vec_ids (ordered limit) — candidate volume is
+    O(|Q| * cell size), so an uncapped fraction-of-corpus query side grows
+    quadratically-ish at 100x.  Capped queries are re-ranked against the
+    centroids directly (<= max_queries x n_cells dots — bounded), which
+    also lets external, non-corpus queries probe the index.
     """
     # the ranked centroid table is consumed by BOTH the assignment side and
     # the probe side: checkpoint it so the n_cells cosine scans run once
@@ -343,14 +358,15 @@ def ann_ivf_topk(
         "embedding",
         "nrm",
     )
-    probe_cells = ranked.filter(
-        (F.col("vec_id") % query_mod == 0) & (F.col("rn") <= nprobe)
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    q_capped = (
+        queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
+    )
+    probe_cells = _ranked_cells(q_capped, _ivf_centroids(embeddings, n_cells)).filter(
+        F.col("rn") <= nprobe
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    q_sides = _with_norm(
-        embeddings.filter(F.col("vec_id") % query_mod == 0).select("vec_id", "embedding"),
-        "embedding",
-        "nrm",
-    ).select(
+    q_sides = _with_norm(q_capped, "embedding", "nrm").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
@@ -386,35 +402,45 @@ def ann_topk_in_bucket(
     n_planes: int = N_PLANES,
     n_bands: int = LSH_EMB_BANDS,
     max_bucket: int = MAX_EMB_BUCKET,
+    queries: "DataFrame | None" = None,
+    max_queries: int = MAX_QUERIES,
 ) -> "DataFrame":
     """ANN: neighbors restricted to the query's (banded, capped) LSH
     buckets, then exact cosine over the bounded candidate set.  Recall < 1
     by design; the scale win is that the join key is the band bucket and
     every bucket's contribution is capped.
 
-    The banded signature table feeds BOTH the member side and the query
-    side — checkpointed so the interpreted n_planes-dot signature pass
-    runs once (materialized-LSH-index analogue)."""
+    The banded signature table is checkpointed so the interpreted
+    n_planes-dot signature pass over the CORPUS runs once (materialized-
+    LSH-index analogue).  The query side carries the ``queries``/
+    ``max_queries`` contract of :func:`cosine_topk` (VERDICT r03 #2): a
+    hard ordered-limit cap on the lowest vec_ids, after which the <=
+    max_queries query signatures are recomputed directly (bounded work,
+    and external non-corpus queries probe the same index)."""
     bands = lsh_band_buckets(embeddings, n_planes, n_bands).localCheckpoint(eager=False)
     capped = (
         bands.groupBy("band_idx", "bucket")
         .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
     )
     members = capped.select("band_idx", "bucket", F.explode("ids").alias("vec_id"))
-    queries = bands.filter(F.col("vec_id") % query_mod == 0).select(
+    if queries is None:
+        queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
+    q_capped = (
+        queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
+    )
+    q_bands = lsh_band_buckets(q_capped, n_planes, n_bands).select(
         F.col("vec_id").alias("query_id"), "band_idx", "bucket"
     )
     cand_ids = (
-        queries.join(members, ["band_idx", "bucket"])
+        q_bands.join(members, ["band_idx", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    sides = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm")
-    q_emb = sides.select(
+    q_emb = _with_norm(q_capped, "embedding", "nrm").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_norm")
     )
-    n_emb = sides.select(
+    n_emb = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_norm")
     )
     pairs = (

@@ -408,7 +408,12 @@ def scrub_pii(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
     )
 
 
-def token_surprise(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+def token_surprise(
+    docs: "DataFrame",
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+    tail_cnt: int = 1,
+) -> "DataFrame":
     """Corpus-relative rarity scoring — the integer-exact stand-in for
     CCNet-style LM-perplexity bucketing (no LM in this sandbox; 1/freq
     self-information keeps the ordering signal and the twin exact).
@@ -418,9 +423,25 @@ def token_surprise(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
          (map-side) aggregation does the heavy lifting, the shuffle
          carries one row per distinct token per partition;
       2. score — join each doc's tokens back against the frequency table
-         (at 100 TB the frequency table is Zipf-small after aggregation —
-         broadcastable for real corpora) and average the per-token
-         surprise ``1_000_000 DIV cnt``.
+         and average the per-token surprise ``1_000_000 DIV cnt``.
+
+    The join-back strategy is the 100x design point (VERDICT r03 #1): the
+    distinct vocabulary of a web corpus is NOT Zipf-small — typos, URLs
+    and hashes push it to 1e8–1e9 rows at 100 TB, so an unconditional
+    ``broadcast(freq)`` hint would override AQE's size check and OOM the
+    driver.  Two bounded modes instead:
+
+    * ``vocab_limit=None`` (default, driver-twinned): no hint — AQE picks
+      broadcast when the measured table is small and a shuffle join when
+      it is not.  Correct at every scale, plan-asserted hint-free in
+      tests/test_plans.py.
+    * ``vocab_limit=N``: keep only the top-N tokens by count (ties by
+      token — an ordered global limit, i.e. a scalable
+      TakeOrderedAndProject, not a single-partition window); every tail
+      token scores with ``tail_cnt`` (default 1 = max surprise).  This is
+      the CCNet-faithful fixed-vocab form, and the capped table is
+      explicitly broadcast because the cap makes that safe by
+      construction.
 
     Output: doc_id, n_tokens, surprise_ppm (integer) — high = rare
     vocabulary (gibberish-ish), low = corpus-dominant boilerplate.
@@ -429,8 +450,15 @@ def token_surprise(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
         "doc_id", "n_tokens", F.explode("tokens").alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    if vocab_limit is None:
+        joined = toks.join(freq, "tok")
+    else:
+        capped = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(vocab_limit))
+        joined = toks.join(F.broadcast(capped), "tok", "left").withColumn(
+            "cnt", F.coalesce("cnt", F.lit(int(tail_cnt)).cast("long"))
+        )
     return (
-        toks.join(F.broadcast(freq), "tok")
+        joined
         .groupBy("doc_id", "n_tokens")
         .agg(F.sum(F.expr("CAST(1000000 AS BIGINT) DIV cnt")).alias("surprise_sum"))
         .select(

@@ -162,7 +162,11 @@ def _operator_arg_schemas() -> dict:
             "max_queries": a("int", similarity.MAX_QUERIES, "broadcast query-side bound"),
         },
         "similarity.lsh_candidate_pairs": emb_lsh,
-        "similarity.ann_topk_in_bucket": {**emb_lsh, "k": a("int", 5, "neighbors per query")},
+        "similarity.ann_topk_in_bucket": {
+            **emb_lsh,
+            "k": a("int", 5, "neighbors per query"),
+            "max_queries": a("int", similarity.MAX_QUERIES, "query-side bound (ordered limit)"),
+        },
         "similarity.embedding_near_dup": {
             **emb_lsh,
             "threshold": a("float", 0.98, "cosine near-dup threshold"),
@@ -171,6 +175,13 @@ def _operator_arg_schemas() -> dict:
             "n_cells": a("int", similarity.IVF_N_CELLS, "IVF cells (scale ~sqrt(corpus))"),
             "nprobe": a("int", similarity.IVF_NPROBE, "cells probed per query (recall knob)"),
             "k": a("int", 5, "neighbors per query"),
+            "max_queries": a("int", similarity.MAX_QUERIES, "query-side bound (ordered limit)"),
+        },
+        "text_analysis.token_surprise": {
+            "vocab_limit": a(
+                "int|None", None, "top-N vocab cap (None = full vocab, AQE-decided join)"
+            ),
+            "tail_cnt": a("int", 1, "assumed count for out-of-vocab tail tokens"),
         },
     }
 

@@ -171,6 +171,60 @@ def test_stream_extent_uses_declared_length():
     assert blocks and blocks[0].text == tag
 
 
+def test_non_latin1_round_trip_hex_strings():
+    """CJK fixture text round-trips losslessly: make_pdf emits a UTF-16BE
+    hex string (BOM-prefixed) and the extractor decodes it back byte-exact
+    (regression: latin-1 'replace' silently turned CJK into '?')."""
+    import re as _re
+    import zlib as _z
+
+    texts = ["日本語テスト", "mixed 日本語 and ascii", "plain ascii stays literal"]
+    pdf = make_pdf([(72, 700 - 50 * i, 12, t) for i, t in enumerate(texts)])
+    assert [b.text for b in extract_pdf_blocks(pdf)] == texts
+    # ascii-only blocks still use literal (...) strings (no hex blow-up)
+    ascii_pdf = make_pdf([(72, 700, 12, "plain ascii")])
+    m = _re.search(rb"stream\r?\n(.*?)\nendstream", ascii_pdf, _re.DOTALL)
+    assert m and b"(plain ascii)" in _z.decompress(m.group(1))
+
+
+def test_hex_string_whitespace_and_odd_padding():
+    """Hex strings may contain whitespace and an odd digit count (padded
+    with 0 per spec); latin-1 payloads decode without a BOM."""
+    import zlib
+
+    content = zlib.compress(b"BT /F1 10 Tf 5 5 Td <48 65 6C6C 6F2> Tj ET")
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    blocks = extract_pdf_blocks(raw)
+    assert blocks and blocks[0].text == "Hello "  # 0x20 from the padded '2'
+
+
+def test_indirect_length_never_truncates():
+    """'/Length 6 0 R' names object 6, not six bytes: a filterless stream
+    must fall through to the full-body candidate, not emit a 6-byte
+    truncated block (r3 review; '/Length 66 0 R' guards the backtrack)."""
+    for declared in (b"6 0 R", b"66 0 R"):
+        raw = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + declared + b" >>\nstream\n"
+            b"BT /F1 10 Tf 5 5 Td (full text survives) Tj ET"
+            b"\nendstream\nendobj\n"
+        )
+        blocks = extract_pdf_blocks(raw)
+        assert blocks and blocks[0].text == "full text survives"
+    # a DIRECT length is still authoritative
+    body = b"BT /F1 10 Tf 5 5 Td (kept) Tj ET"
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n" % len(body)
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+    assert [b.text for b in extract_pdf_blocks(raw)] == ["kept"]
+
+
 def test_multipage_reading_order_is_page_major():
     """Two content streams (two pages): page 1's bottom line must precede
     page 2's top line — a global y sort would interleave them."""

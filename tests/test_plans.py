@@ -120,6 +120,42 @@ def test_cosine_topk_query_side_is_bounded(spark):
     assert sorted({r["query_id"] for r in got2}) == exp_q
 
 
+def test_ann_siblings_query_side_is_bounded(spark):
+    """ann_ivf_topk and ann_topk_in_bucket carry cosine_topk's query-side
+    contract (VERDICT r03 #2): max_queries truncates deterministically to
+    the lowest vec_ids, an explicit queries DataFrame overrides the modulo
+    subset, and pinned defaults leave the driver queries unchanged."""
+    from manga_translator_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_topk_in_bucket,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    all_qids = sorted(
+        r["vec_id"] for r in df.filter("vec_id % 97 = 0").select("vec_id").collect()
+    )
+    explicit = df.filter("vec_id % 31 = 1").select("vec_id", "embedding")
+    exp_q = sorted(r["vec_id"] for r in explicit.select("vec_id").collect())[:3]
+    for op in (ann_ivf_topk, ann_topk_in_bucket):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
+        got = op(df, k=2, max_queries=2).collect()
+        qids = sorted({r["query_id"] for r in got})
+        assert qids and set(qids) <= set(all_qids[:2])
+        got2 = op(df, k=1, queries=explicit, max_queries=3).collect()
+        assert got2 and set(r["query_id"] for r in got2) <= set(exp_q)
+        # capped defaults == the uncapped r3 shape at this scale (the twin
+        # equality the driver gate re-proves at sf0.01)
+        base = {
+            (r["query_id"], r["neighbor_id"], r["rank"]) for r in op(df).collect()
+        }
+        wide = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in op(df, max_queries=10**6).collect()
+        }
+        assert base == wide
+
+
 def test_dedup_clusters_max_iters_guard(spark):
     """An adversarial long chain must hit the round bound and raise, not
     loop silently (each round is a full-graph barrier at 100 TB)."""
@@ -248,8 +284,10 @@ def test_latest_snapshot_window_is_rank_limited(spark, tmp_path, pages_df):
 def test_token_surprise_aggregates_map_side(spark, tmp_path):
     """The token-count stage must partial-aggregate before its exchange
     (the map-side combine that makes corpus word-count scale), and the
-    frequency table joins back via broadcast, not a second shuffle of the
-    exploded tokens."""
+    frequency join-back must carry NO unconditional broadcast hint: with
+    the auto-broadcast threshold forced to -1, a hint would still produce
+    a BroadcastExchange, so its absence proves AQE owns the decision
+    (VERDICT r03 #1 — the corpus vocabulary is 1e8+ rows at 100 TB)."""
     import pandas as pd
 
     from manga_translator_spark.operators.text_analysis import token_surprise
@@ -265,4 +303,14 @@ def test_token_surprise_aggregates_map_side(spark, tmp_path):
     exch = [i for i, l in enumerate(lines) if "Exchange" in l]
     aggs = [i for i, l in enumerate(lines) if "HashAggregate" in l]
     assert exch and aggs and max(aggs) > min(exch), tree
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, tree
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = _plan(token_surprise(spark.read.parquet(path)))
+        assert "BroadcastExchange" not in unhinted, unhinted
+        # the capped-vocab form IS hinted — bounded by construction
+        capped = _plan(token_surprise(spark.read.parquet(path), vocab_limit=64))
+        assert "BroadcastExchange" in capped, capped
+        assert "TakeOrderedAndProject" in capped, capped  # scalable top-N
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
