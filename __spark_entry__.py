@@ -352,6 +352,40 @@ def _q_doc_wrap_lines(spark, sf):
     return text_analysis.wrap_lines(_t(spark, sf, "documents"))
 
 
+# Hyphenated-wrap driver payloads: the synthetic corpus is short-word text
+# that never triggers a split, so the query injects one deterministic
+# phrase per doc (doc_id % len) from a FIXED lexicon chosen to exercise
+# every kernel behavior — split-fills, the pure-wrap-impossible rescue, a
+# no-version failure (fits=0), the exception word, and no-split text.  The
+# twin maps doc_id to the kernel-precomputed expected wrap of each phrase
+# (the lexicon is a code constant, so oracle_sql() can run the Python
+# kernel over it without touching data — the scrub_pii payload
+# discipline), which makes the hash gate prove the distributed mapInPandas
+# path reproduces the Liang kernel byte-exactly.
+_HYPHEN_PHRASES = (
+    "the unbelievable hyphenation committee",
+    "transformation running wrestling",
+    "xylophones impossible",
+    "plain short words stay the same",
+    "present tense words",
+    "scan merge join batch window",
+    "hyphenation",
+    "a misspelling of transformation",
+)
+_HYPHEN_WIDTH = 12
+
+
+def _q_doc_wrap_hyphen(spark, sf):
+    arr = "array(" + ", ".join(f"'{p}'" for p in _HYPHEN_PHRASES) + ")"
+    payload = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"element_at({arr}, cast(doc_id % {len(_HYPHEN_PHRASES)} as int) + 1)"
+        ).alias("text"),
+    )
+    return text_analysis.wrap_lines(payload, width=_HYPHEN_WIDTH, hyphenate=True)
+
+
 def _q_doc_bpe_tokens(spark, sf):
     return text_analysis.bpe_token_stats(_t(spark, sf, "documents"))
 
@@ -741,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "gopher_quality": _q_gopher_quality,
         "doc_wrap_lines": _q_doc_wrap_lines,
+        "doc_wrap_hyphen": _q_doc_wrap_hyphen,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
         "token_surprise": _q_token_surprise,
@@ -1166,6 +1201,40 @@ def oracle_sql() -> dict[str, str]:
     from manga_translator_spark.functions.wrap import wrap_sql_duck
 
     sql["doc_wrap_lines"] = wrap_sql_duck("documents", ta.WRAP_WIDTH)
+
+    # Hyphenated wrap twin: the payload lexicon is a code constant, so the
+    # expected per-phrase wrap comes from running the Liang KERNEL here at
+    # SQL-generation time (no data access) and embedding the results as
+    # doc_id-indexed list literals — the gate then proves the distributed
+    # mapInPandas path == the kernel, byte-exact, including the fits=0 row.
+    from manga_translator_spark.functions.hyphen import (
+        Hyphenator as _Hyph,
+        wrap_lines_hyphenated as _wlh,
+    )
+
+    _hy = _Hyph()
+    _hy_exp = [_wlh(p, _HYPHEN_WIDTH, hyphenator=_hy) for p in _HYPHEN_PHRASES]
+
+    def _lit(s: str) -> str:
+        return "(" + " || chr(10) || ".join(
+            "'" + ln.replace("'", "''") + "'" for ln in s.split("\n")
+        ) + ")"
+
+    _nl_list = ", ".join(
+        "NULL" if ls is None else str(len(ls)) for ls in _hy_exp
+    )
+    _wr_list = ", ".join(
+        "NULL" if ls is None else _lit("\n".join(ls)) for ls in _hy_exp
+    )
+    _fit_list = ", ".join("0" if ls is None else "1" for ls in _hy_exp)
+    _n = len(_HYPHEN_PHRASES)
+    sql["doc_wrap_hyphen"] = f"""
+      SELECT doc_id,
+             CAST(([{_nl_list}])[(doc_id % {_n})::INT + 1] AS INT) AS n_lines,
+             ([{_wr_list}])[(doc_id % {_n})::INT + 1] AS wrapped,
+             CAST(([{_fit_list}])[(doc_id % {_n})::INT + 1] AS INT) AS fits
+      FROM documents
+    """
 
     # DuckDB string literals keep backslashes raw; only quotes need doubling
     bpe_pat = ta.BPE_PRETOKEN_RE.replace("'", "''")

@@ -41,24 +41,34 @@ QUERY_NAMES = (
     "top_order_per_cust",
     "user_sessions",
     "doc_langid",
+    "doc_quality",
+    "gopher_quality",
     "dedup_exact",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "dedup_clusters",
     "simhash",
     "winnow_fingerprint",
     "doc_wrap_lines",
+    "doc_wrap_hyphen",
     "doc_bpe_tokens",
     "doc_repetition",
     "token_surprise",
     "scrub_pii",
     "url_canonical_dedup",
     "latest_snapshot",
+    "crawl_refresh",
+    "extract_delta",
+    "extract_routed",
     "pdf_extract",
+    "training_corpus",
     "ann_cosine_topk",
     "ann_lsh_bucket_stats",
     "ann_in_bucket_topk",
     "ann_ivf_topk",
     "ann_ivf_recall",
+    "ann_bucket_recall",
     "embedding_near_dup",
 )
 

@@ -14,12 +14,27 @@ def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
     Heavy per-row compute (minhash, simhash, language-ID) over a table that
     arrives as one or two parquet files otherwise runs on one core — the
     classic small-input/expensive-map shape.  At 100 TB inputs are already
-    wide and this is a no-op; the check costs one partition-count lookup.
+    wide and this is a no-op; the check costs one catalog file listing.
     The round-robin shuffle moves only the small input once, and is repaid
     ~parallelism-fold by the map stage.
+
+    The probe is ``inputFiles()`` (logical-plan file listing), NOT
+    ``df.rdd.getNumPartitions()`` — the latter converts the physical plan
+    to an RDD at *plan* time for every scoring operator (VERDICT r03 #5).
+    Non-file-backed frames (in-memory test frames, post-shuffle stages)
+    report zero files and pass through untouched: their parallelism is
+    already set by their source/shuffle.  A wide multi-file scan
+    (>= target files) also passes through; a few big splittable files
+    under-count partitions and get a redundant-but-harmless round-robin —
+    at corpus scale file counts dwarf the target, so this is the
+    small-input case by construction.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive: unresolvable plans
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

@@ -290,6 +290,66 @@ def _ivf_centroids(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
     )
 
 
+IVF_KMEANS_SAMPLE = 1024
+IVF_KMEANS_ROUNDS = 3
+
+
+def _ivf_centroids_kmeans(
+    embeddings: "DataFrame",
+    n_cells: int,
+    sample_n: int = IVF_KMEANS_SAMPLE,
+    rounds: int = IVF_KMEANS_ROUNDS,
+) -> "DataFrame":
+    """Lloyd-refined IVF centroids over a bounded deterministic sample
+    (VERDICT r03 #4): the ``sample_n`` lowest vec_ids are collected to the
+    driver (an INDEX-BUILD step — bounded like the hyperplane table, not a
+    hot-path collect), L2-normalized, initialized from the first
+    ``n_cells`` sample rows (the first-N variant's own seed), and refined
+    with ``rounds`` fixed Lloyd iterations under the index's cosine
+    metric (assign to argmax dot, ties to the lower cell; new centroid =
+    renormalized mean; empty cells keep their previous centroid).
+    Deterministic by construction — same data, same centroids — so a
+    deployment can pin the result exactly like PLANES.
+
+    Not the driver-twinned default: ``oracle_sql()`` strings are built
+    without reading data, and a recursive-CTE Lloyd twin buys no coverage
+    the measured recall (``ann_ivf_recall`` with ``centroids='kmeans'``)
+    doesn't already give.  Measured at sf0.01 defaults the refinement
+    lifts mean IVF recall vs the first-N quantizer (numbers in
+    COVERAGE.md)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    cents = x[: int(n_cells)].copy()
+    for _ in range(int(rounds)):
+        sims = x @ cents.T  # cosine: everything is unit-norm
+        assign = np.argmax(sims, axis=1)  # ties -> lowest cell (argmax rule)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    spark = embeddings.sparkSession
+    return _with_norm(
+        spark.createDataFrame(
+            [(int(c), [float(v) for v in cents[c]]) for c in range(cents.shape[0])],
+            "cell INT, c_emb ARRAY<DOUBLE>",
+        ),
+        "c_emb",
+        "c_norm",
+    )
+
+
 def _ranked_cells(vectors: "DataFrame", centroids: "DataFrame") -> "DataFrame":
     """(vec_id, cell, rn): ``vectors``' centroids ranked by cosine —
     rn=1 is the assignment, rn<=nprobe is the query probe set."""
@@ -327,9 +387,16 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     queries: "DataFrame | None" = None,
     max_queries: int = MAX_QUERIES,
+    centroids: "str | DataFrame" = "first",
 ) -> "DataFrame":
     """IVF ANN: exact cosine restricted to the query's ``nprobe`` nearest
     coarse cells.
+
+    ``centroids`` selects the coarse quantizer: ``"first"`` (default,
+    driver-twinned — the n_cells lowest vec_ids), ``"kmeans"``
+    (:func:`_ivf_centroids_kmeans` — deterministic sampled Lloyd
+    refinement, better cell balance / recall), or a prebuilt centroid
+    DataFrame (cell, c_emb, c_norm) for index reuse across queries.
 
     The scale shape: the corpus partitions into n_cells disjoint cells (a
     shuffle on the cell id), each query probes its nprobe nearest cells (a
@@ -348,11 +415,18 @@ def ann_ivf_topk(
     centroids directly (<= max_queries x n_cells dots — bounded), which
     also lets external, non-corpus queries probe the index.
     """
+    if isinstance(centroids, str):
+        if centroids == "kmeans":
+            cent = _ivf_centroids_kmeans(embeddings, n_cells)
+        else:
+            cent = _ivf_centroids(embeddings, n_cells)
+    else:
+        cent = centroids
     # the ranked centroid table is consumed by BOTH the assignment side and
     # the probe side: checkpoint it so the n_cells cosine scans run once
     # (the single-job analogue of materializing the IVF index table, which
     # is exactly what a 100 TB deployment does between build and query)
-    ranked = _ivf_ranked(embeddings, n_cells).localCheckpoint(eager=False)
+    ranked = _ranked_cells(embeddings, cent).localCheckpoint(eager=False)
     assigned = _with_norm(
         ranked.filter(F.col("rn") == 1).select("vec_id", "cell").join(embeddings, "vec_id"),
         "embedding",
@@ -363,7 +437,7 @@ def ann_ivf_topk(
     q_capped = (
         queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
     )
-    probe_cells = _ranked_cells(q_capped, _ivf_centroids(embeddings, n_cells)).filter(
+    probe_cells = _ranked_cells(q_capped, cent).filter(
         F.col("rn") <= nprobe
     ).select(F.col("vec_id").alias("query_id"), "cell")
     q_sides = _with_norm(q_capped, "embedding", "nrm").select(
@@ -457,7 +531,10 @@ def ann_topk_in_bucket(
 
 
 def ann_recall(
-    embeddings: "DataFrame", k: int = 5, approx: "DataFrame | None" = None
+    embeddings: "DataFrame",
+    k: int = 5,
+    approx: "DataFrame | None" = None,
+    query_mod: int = 97,
 ) -> "DataFrame":
     """Measured recall of an ANN index against the exact baseline — the
     evaluation query every ANN deployment runs before trusting an index.
@@ -471,9 +548,9 @@ def ann_recall(
     exact side is the expensive leg and is already bounded by
     ``MAX_QUERIES``.
     """
-    exact = cosine_topk(embeddings, k)
+    exact = cosine_topk(embeddings, k, query_mod=query_mod)
     if approx is None:
-        approx = ann_ivf_topk(embeddings, k)
+        approx = ann_ivf_topk(embeddings, k, query_mod=query_mod)
     approx = approx.select(
         "query_id", "neighbor_id", F.lit(1).alias("is_hit")
     )

@@ -190,15 +190,29 @@ def fingerprint(docs: "DataFrame") -> "DataFrame":
 WRAP_WIDTH = 40  # driver-pinned default; per-corpus knob
 
 
-def wrap_lines(docs: "DataFrame", width: int = WRAP_WIDTH) -> "DataFrame":
+def wrap_lines(
+    docs: "DataFrame", width: int = WRAP_WIDTH, hyphenate: bool = False
+) -> "DataFrame":
     """Per-document greedy text wrap (the drawer-stage text-flow analogue,
     reference utils.py:135-169 via functions/wrap.py).
 
     Emits (doc_id, n_lines, wrapped, fits): wrapped is the chr(10)-joined
     line text (NULL when a word exceeds ``width`` — the kernel's None/
     retry contract), fits the integer flag of that.  Pure codegen fold,
-    zero shuffle; the DuckDB twin runs the same fold via list_reduce.
-    """
+    zero shuffle; the DuckDB twin runs the same fold via a recursive CTE.
+
+    ``hyphenate=True`` runs the Liang-hyphenated variant instead
+    (reference wrap_text_with_hyphenator, utils.py:185-267 via
+    functions/hyphen.py): same output schema, words may split as
+    ``left-`` / ``right`` at pattern points, and ``fits=0`` only when a
+    word has NO fitting version even after hyphenation.  This path is a
+    Python kernel over mapInPandas (Liang scoring is not SQL-expressible
+    at reasonable cost): one Hyphenator per task whose word caches are
+    shared across the batch, exactly as the reference shares one
+    HyphenationCache per draw call — still a narrow per-row map, zero
+    shuffle."""
+    if hyphenate:
+        return _wrap_lines_hyphenated(docs, width)
     from manga_translator_spark.functions.wrap import wrap_fold_spark, words_expr_spark
 
     fold = wrap_fold_spark(words_expr_spark("text"), width)
@@ -209,6 +223,35 @@ def wrap_lines(docs: "DataFrame", width: int = WRAP_WIDTH) -> "DataFrame":
         F.col("w.n_lines").alias("n_lines"),
         F.col("w.wrapped").alias("wrapped"),
         F.expr("CAST(w.wrapped IS NOT NULL AS INT)").alias("fits"),
+    )
+
+
+def _wrap_lines_hyphenated(docs: "DataFrame", width: int) -> "DataFrame":
+    import pandas as pd
+
+    def gen(batches):
+        from manga_translator_spark.functions.hyphen import (
+            Hyphenator,
+            wrap_lines_hyphenated,
+        )
+
+        hyph = Hyphenator()  # per-task caches, shared across rows
+        for pdf in batches:
+            lines = [
+                wrap_lines_hyphenated(t, width, hyphenator=hyph)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_lines": [len(ls) if ls is not None else None for ls in lines],
+                    "wrapped": ["\n".join(ls) if ls is not None else None for ls in lines],
+                    "fits": [1 if ls is not None else 0 for ls in lines],
+                }
+            )
+
+    return spread(docs).select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id BIGINT, n_lines INT, wrapped STRING, fits INT"
     )
 
 
@@ -246,6 +289,25 @@ def bpe_token_stats(docs: "DataFrame") -> "DataFrame":
     )
 
 
+def _gopher_body(tks: str, text_col: str = "text") -> str:
+    """The Gopher keep verdict as one boolean SQL expression over a BOUND
+    token-array variable ``tks`` (same constants / integer comparisons as
+    :func:`gopher_quality`; equality is tested against it)."""
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    arr = ", ".join(f"'{w}'" for w in all_stops)
+    sym = f"length({text_col}) - length(regexp_replace({text_col}, '[#…]', ''))"
+    return (
+        f"size({tks}) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+        f" AND (CASE WHEN size({tks}) = 0 THEN FALSE ELSE"
+        f" aggregate({tks}, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        f" BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} * size({tks})"
+        f" AND {GOPHER_MAX_MEAN_WORD_LEN} * size({tks}) END)"
+        f" AND 100 * ({sym}) <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * greatest(size({tks}), 1)"
+        f" AND size(filter({tks}, t -> array_contains(array({arr}), t)))"
+        f" >= {GOPHER_MIN_STOPWORD_HITS}"
+    )
+
+
 def gopher_keep_condition(text_col: str = "text") -> "F.Column":
     """The Gopher keep verdict as ONE boolean column over ``text_col`` —
     the filter-pushdown form of :func:`gopher_quality` (same constants,
@@ -256,19 +318,7 @@ def gopher_keep_condition(text_col: str = "text") -> "F.Column":
     The token array is let-bound via the single-element ``transform``
     idiom (texthash.py rule) so tokenization runs once, not per rule.
     """
-    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
-    arr = ", ".join(f"'{w}'" for w in all_stops)
-    sym = f"length({text_col}) - length(regexp_replace({text_col}, '[#…]', ''))"
-    body = (
-        f"size(tokens) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
-        " AND (CASE WHEN size(tokens) = 0 THEN FALSE ELSE"
-        " aggregate(tokens, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
-        f" BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} * size(tokens)"
-        f" AND {GOPHER_MAX_MEAN_WORD_LEN} * size(tokens) END)"
-        f" AND 100 * ({sym}) <= {GOPHER_MAX_SYMBOL_RATIO_PCT} * greatest(size(tokens), 1)"
-        f" AND size(filter(tokens, t -> array_contains(array({arr}), t)))"
-        f" >= {GOPHER_MIN_STOPWORD_HITS}"
-    )
+    body = _gopher_body("tokens", text_col)
     return F.expr(
         f"element_at(transform(array({tokens_spark(text_col)}), tokens -> {body}), 1)"
     )
@@ -311,6 +361,19 @@ _TOP_RUN_FOLD = """aggregate(sort_array({arr}),
   a -> a.best)"""
 
 
+# {a}-templated integer-ppm repetition signals over a bound n-gram array
+# (shared by repetition_stats and the fused training-gate projection).
+_DUP_PPM = (
+    "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+    "CAST((size({a}) - size(array_distinct({a}))) AS BIGINT) * 1000000 DIV size({a}) END"
+)
+_TOP_PPM = (
+    "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+    + _TOP_RUN_FOLD.format(arr="{a}")
+    + " * 1000000 DIV size({a}) END"
+)
+
+
 def repetition_stats(
     docs: "DataFrame",
     max_dup_bigram_ppm: int = REP_MAX_DUP_BIGRAM_PPM,
@@ -325,15 +388,8 @@ def repetition_stats(
     projection, nested let-bindings (texthash.py idiom) so tokens /
     bigrams / trigrams each evaluate once per row.
     """
-    dup = (
-        "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
-        "CAST((size({a}) - size(array_distinct({a}))) AS BIGINT) * 1000000 DIV size({a}) END"
-    )
-    top = (
-        "CASE WHEN size({a}) = 0 THEN CAST(0 AS BIGINT) ELSE "
-        + _TOP_RUN_FOLD.format(arr="{a}")
-        + " * 1000000 DIV size({a}) END"
-    )
+    dup = _DUP_PPM
+    top = _TOP_PPM
     body = (
         "element_at(transform(array(" + _ngrams_spark("tks", 2) + "), bg -> "
         "element_at(transform(array(" + _ngrams_spark("tks", 3) + "), tg -> "
@@ -363,6 +419,52 @@ def repetition_stats(
                 f"CAST(dup_bigram_ppm <= {int(max_dup_bigram_ppm)} "
                 f"AND top_bigram_ppm <= {int(max_top_bigram_ppm)} AS INT)"
             ),
+        )
+    )
+
+
+def quality_repetition_signals(
+    docs: "DataFrame",
+    max_dup_bigram_ppm: int = REP_MAX_DUP_BIGRAM_PPM,
+    max_top_bigram_ppm: int = REP_MAX_TOP_BIGRAM_PPM,
+) -> "DataFrame":
+    """BOTH training-corpus gate verdicts + n_tokens from ONE let-bound
+    tokenization (VERDICT r03 #3): (doc_id, n_tokens, gq_keep, rep_keep).
+
+    ``training_corpus`` previously ran :func:`gopher_quality`,
+    :func:`repetition_stats` AND a final ``n_tokens`` projection as three
+    separate passes — at 100 TB the interpreted tokenizer fold is the
+    dominant per-doc cost and it ran once per gate instead of once total.
+    Here one projection binds the token array once (``transform(array(
+    tokens), tks -> ...)``, texthash.py idiom), binds the bigram array
+    once inside it, and emits the Gopher verdict (:func:`_gopher_body` —
+    the tested-equal single-expression form of :func:`gopher_quality`),
+    the repetition verdict (same ``_DUP_PPM``/``_TOP_PPM`` templates as
+    :func:`repetition_stats`; the keep rule uses bigrams only), and
+    ``size(tks)``.  Equality with the composed operators is tested.
+    Zero shuffle, plan-asserted single tokenization."""
+    gq = _gopher_body("tks", "text")
+    rep = (
+        f"({_DUP_PPM.format(a='bg')}) <= {int(max_dup_bigram_ppm)}"
+        f" AND ({_TOP_PPM.format(a='bg')}) <= {int(max_top_bigram_ppm)}"
+    )
+    body = (
+        "element_at(transform(array(" + _ngrams_spark("tks", 2) + "), bg -> "
+        "named_struct("
+        "'n_tokens', size(tks), "
+        f"'gq_keep', CAST({gq} AS INT), "
+        f"'rep_keep', CAST({rep} AS INT)"
+        ")), 1)"
+    )
+    sig = f"element_at(transform(array({tokens_spark('text')}), tks -> {body}), 1)"
+    return (
+        spread(docs)
+        .select("doc_id", F.expr(sig).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.gq_keep").alias("gq_keep"),
+            F.col("s.rep_keep").alias("rep_keep"),
         )
     )
 

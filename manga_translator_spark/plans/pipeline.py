@@ -176,6 +176,10 @@ def _operator_arg_schemas() -> dict:
             "nprobe": a("int", similarity.IVF_NPROBE, "cells probed per query (recall knob)"),
             "k": a("int", 5, "neighbors per query"),
             "max_queries": a("int", similarity.MAX_QUERIES, "query-side bound (ordered limit)"),
+            "centroids": a(
+                "str|DataFrame", "first",
+                "coarse quantizer: first | kmeans (sampled Lloyd) | prebuilt table",
+            ),
         },
         "text_analysis.token_surprise": {
             "vocab_limit": a(

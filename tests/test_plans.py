@@ -156,6 +156,93 @@ def test_ann_siblings_query_side_is_bounded(spark):
         assert base == wide
 
 
+def test_training_gate_tokenizes_once(spark, tmp_path):
+    """The fused training-corpus gate projection must contain exactly ONE
+    tokenizer evaluation (VERDICT r03 #3): the gopher verdict, the
+    repetition verdict and n_tokens all read the same let-bound array.
+    The composed r3 form tokenized three times."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.text_analysis import (
+        quality_repetition_signals,
+    )
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["the and of a b", "x y"]})
+    ).write.parquet(path)
+    plan = _plan(quality_repetition_signals(spark.read.parquet(path)))
+    # '[^a-z0-9 ]' is the tokenizer's regexp_replace class (texthash.py);
+    # each occurrence in the physical plan is one tokenization of the doc
+    assert plan.count("[^a-z0-9 ]") == 1, plan
+    # narrow: no aggregation/join shuffle (spread()'s round-robin
+    # repartition of a small scan is the only allowed Exchange)
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" not in tree and "Join" not in tree, tree
+    assert all(
+        "RoundRobin" in l or "Exchange" not in l
+        for l in plan.splitlines()
+        if "Arguments" in l and "Partitioning" in l
+    ), plan
+
+
+def test_training_gate_equals_composed_operators(spark):
+    """quality_repetition_signals == gopher_quality ⨯ repetition_stats ⨯
+    with_tokens on real documents (the equality that keeps the fused gate
+    and the driver twin honest)."""
+    from manga_translator_spark.operators.text_analysis import (
+        gopher_quality,
+        quality_repetition_signals,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fused = {
+        r["doc_id"]: (r["n_tokens"], r["gq_keep"], r["rep_keep"])
+        for r in quality_repetition_signals(docs).collect()
+    }
+    gq = {r["doc_id"]: (r["n_tokens"], r["keep"]) for r in gopher_quality(docs).collect()}
+    rep = {r["doc_id"]: r["rep_keep"] for r in repetition_stats(docs).collect()}
+    assert set(fused) == set(gq) == set(rep)
+    for d, (n, g, rkeep) in fused.items():
+        assert (n, g) == gq[d], d
+        assert rkeep == rep[d], d
+    # both verdict values occur (the corpus exercises the gates)
+    assert {g for _, g, _ in fused.values()} == {0, 1} or len(fused) < 50
+
+
+def test_ivf_kmeans_centroids_deterministic_and_better(spark):
+    """The sampled-Lloyd quantizer (VERDICT r03 #4) is deterministic (same
+    data -> identical top-k twice) and, measured over a dense query set,
+    does not lose recall vs the first-N quantizer (at sf0.01 it WINS:
+    0.175->0.228 @ nprobe=1, 0.481->0.547 @ nprobe=4; pinned numbers in
+    COVERAGE.md — here we assert the cheap sf0.001 invariant)."""
+    from manga_translator_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_recall,
+        cosine_topk,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, ann_ivf_topk(df, centroids="kmeans").collect()))
+    b = sorted(map(tuple, ann_ivf_topk(df, centroids="kmeans").collect()))
+    assert a and a == b
+    # recall evaluation runs over the kmeans variant and stays in [0, 1e6]
+    rec = ann_recall(df, approx=ann_ivf_topk(df, centroids="kmeans")).collect()
+    assert rec and all(0 <= r["recall_ppm"] <= 1_000_000 for r in rec)
+    # denser query set via the threaded query_mod: kmeans >= first - slack
+    qm = 7
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, 5, query_mod=qm).collect()}
+    hits = {}
+    for mode in ("first", "kmeans"):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_ivf_topk(df, 5, query_mod=qm, centroids=mode).collect()
+        }
+        hits[mode] = len(exact & approx)
+    assert hits["kmeans"] >= hits["first"] - len(exact) // 20, hits
+
+
 def test_dedup_clusters_max_iters_guard(spark):
     """An adversarial long chain must hit the round bound and raise, not
     loop silently (each round is a full-graph barrier at 100 TB)."""

@@ -41,6 +41,123 @@ def test_wrap_reference_contracts():
     assert res.bounds == (8, 7)  # x clamps at the wrap width; y = last offset + height
 
 
+def test_liang_hyphenation_points():
+    """Liang scoring over the committed table: the canonical trace, the
+    affix rules, min-length guards, and the exception override."""
+    from manga_translator_spark.functions.hyphen import (
+        MIN_PREFIX,
+        MIN_SUFFIX,
+        Hyphenator,
+    )
+
+    h = Hyphenator()
+    # the classic demo cluster reproduces hy-phen-ation from PATTERNS
+    # (odd 3 in hy3ph, odd 5 in hen5at overriding the even 2 in n2at/2io)
+    assert h.points("hyphenation") == (2, 6)
+    assert h.points("running") == (3, 4)  # n1n + 1ing.
+    assert h.points("committee") == (3, 6)  # m1m + t1t
+    # exception list overrides scoring entirely
+    assert h.points("present") == ()
+    # guards: short words, non-alpha, min prefix/suffix bounds
+    assert h.points("abba") == ()  # < MIN_WORD
+    assert h.points("x1y2z") == ()  # non-alpha
+    for w in ("unbelievable", "transformation", "misspelling"):
+        for p in h.points(w):
+            assert MIN_PREFIX <= p <= len(w) - MIN_SUFFIX
+    # scoring is case-insensitive and cached
+    assert h.points("Hyphenation".lower()) == h.points("hyphenation")
+
+
+def test_hyphenated_wrap_reference_contracts():
+    """wrap_text_with_hyphenator transplant: splits engage exactly when a
+    whole word cannot fill the remaining line, parts carry the dash, and
+    the no-version case is None."""
+    from manga_translator_spark.functions.hyphen import (
+        Hyphenator,
+        wrap_lines_hyphenated,
+        wrap_text_hyphenated,
+    )
+
+    # width 12: 'unbelievable' (12) fits a fresh line but not after 'the '
+    # -> the un-/believable split fills the first line instead
+    got = wrap_lines_hyphenated("the unbelievable hyphenation committee", 12)
+    assert got == ["the un-", "believable", "hyphenation", "committee"]
+    # same text, pure wrapper: no split, 'the' alone on line one
+    assert wrap_lines("the unbelievable hyphenation committee", 12) == [
+        "the", "unbelievable", "hyphenation", "committee",
+    ]
+    # a word too wide even for its narrowest version -> None (retry contract)
+    assert wrap_lines_hyphenated("xylophones", 4) is None
+    # ... but hyphenation rescues words the pure wrapper gives up on
+    assert wrap_lines("hyphenation", 8) is None
+    assert wrap_lines_hyphenated("hyphenation", 8) == ["hyphen-", "ation"]
+    # offsets step with line_spacing exactly like the pure kernel
+    res = wrap_text_hyphenated("the unbelievable word", 12, line_spacing=2)
+    assert [ln.offset for ln in res.lines] == [0, 3, 6]
+    # exception words never split even when splitting would help
+    assert wrap_lines_hyphenated("present", 5, hyphenator=Hyphenator()) is None
+
+
+@given(st.lists(st.text(alphabet="ab1 ", min_size=0, max_size=8), max_size=8),
+       st.integers(min_value=3, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_hyphenated_equals_pure_when_no_split_possible(parts, w):
+    """Words with no hyphenation points (short / non-alpha) reduce the
+    hyphenated wrapper to the pure one — the reference's two variants
+    collapse to the same path the same way."""
+    from manga_translator_spark.functions.hyphen import wrap_lines_hyphenated
+
+    text = " ".join(parts)
+    assert wrap_lines_hyphenated(text, w) == wrap_lines(text, w)
+
+
+def test_wrap_lines_hyphenate_operator(spark):
+    """The mapInPandas path (wrap_lines(hyphenate=True)) matches the
+    Python kernel row-for-row on real documents and keeps the SQL path's
+    schema."""
+    from manga_translator_spark.functions.hyphen import (
+        Hyphenator,
+        wrap_lines_hyphenated,
+    )
+    from manga_translator_spark.operators.text_analysis import wrap_lines as op
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the synthetic corpus is short-word text (no split ever engages), so
+    # it proves operator==kernel and hyphenated==plain on no-split input;
+    # an injected hyphenation-rich frame proves the splits flow through.
+    rich = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100001, 100002, 100003],
+                "text": [
+                    "the unbelievable hyphenation committee",
+                    "hyphenation",  # pure wrapper fails at 12? no — at 8
+                    "transformation running overfull",
+                ],
+            }
+        )
+    )
+    docs = real.select("doc_id", "text").unionByName(rich)
+    for width in (40, 12):
+        got = {r["doc_id"]: r.asDict() for r in op(docs, width=width, hyphenate=True).collect()}
+        plain = {r["doc_id"]: r.asDict() for r in op(docs, width=width).collect()}
+        assert set(got) == set(plain)
+        hyph = Hyphenator()
+        n_diff = 0
+        for r in docs.collect():
+            exp = wrap_lines_hyphenated(r["text"], width, hyphenator=hyph)
+            g = got[r["doc_id"]]
+            if exp is None:
+                assert g["fits"] == 0 and g["wrapped"] is None
+            else:
+                assert g["fits"] == 1 and g["wrapped"] == "\n".join(exp)
+                assert g["n_lines"] == len(exp)
+            if g["wrapped"] != plain[r["doc_id"]]["wrapped"]:
+                n_diff += 1
+        if width == 12:
+            assert n_diff > 0  # the rich frame exercises real splits
+
+
 def test_width_cache_memoizes():
     cache = WidthCache()
     wrap_text_pure("aa bb aa aa bb", 10, cache=cache)
