@@ -33,13 +33,33 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Every contract query except two, so a regression anywhere is visible:
+# extract_pipeline is excluded because the extract_corpus leg times the
+# same pipeline over a pre-staged parquet scan (the 100 TB shape) without
+# the per-call page synthesis, and stream_dedup_digests because it stages
+# a temp parquet snapshot + checkpoint dir inside the call — that's
+# fixture I/O, not operator time (it stays correctness-gated).
 QUERY_NAMES = (
     "pricing_summary",
     "revenue_by_nation",
     "order_fill_left_join",
+    "cust_with_orders_semi",
+    "cust_without_orders_anti",
     "running_supplier_qty",
     "top_order_per_cust",
+    "part_words_explode",
+    "orders_by_month",
+    "order_lines_collected",
+    "returns_cube",
+    "segment_set_ops",
+    "events_json",
     "user_sessions",
+    "rollup_geo",
+    "value_percentiles",
+    "salted_event_counts",
+    "lang_normalize_dim_join",
+    "doc_token_stats",
+    "doc_fingerprint",
     "doc_langid",
     "doc_quality",
     "gopher_quality",

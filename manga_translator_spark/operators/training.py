@@ -44,9 +44,20 @@ def training_corpus(docs: "DataFrame") -> "DataFrame":
     re-shingles its (already twice-filtered) survivors — shingles are a
     different derivation than tokens and only exist for the smallest
     surviving subset, which is the right order at 100 TB."""
-    keep = quality_repetition_signals(docs).filter(
-        (F.col("gq_keep") == 1) & (F.col("rep_keep") == 1)
-    ).select("doc_id", "n_tokens")
+    # checkpoint the (doc_id, n_tokens) keep list — NOT the kept corpus:
+    # `kept` feeds three consumers (exact-dedup agg, the cluster pass, the
+    # final projection), and without the checkpoint each consumer re-runs
+    # the interpreted gate fold over every document.  The id list is tiny
+    # (16 bytes/doc); re-joining it against the pruned docs scan is cheap,
+    # and the expensive fold runs exactly once.  A 100 TB deployment
+    # materializes this boundary to a table between stages — localCheckpoint
+    # is the single-job analogue (the IVF `ranked` discipline).
+    keep = (
+        quality_repetition_signals(docs)
+        .filter((F.col("gq_keep") == 1) & (F.col("rep_keep") == 1))
+        .select("doc_id", "n_tokens")
+        .localCheckpoint(eager=False)
+    )
     kept = docs.join(keep, "doc_id")
     exact_canonical = dedup_exact(kept).select(F.col("canonical_id").alias("doc_id"))
     kept2 = kept.join(exact_canonical, "doc_id", "left_semi")
