@@ -66,7 +66,12 @@ def _with_shingles(docs: "DataFrame", text_col: str) -> "DataFrame":
     return spread(docs).withColumn("shingles", F.expr(shingles_spark(toks, SHINGLE_W)))
 
 
-def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K) -> "DataFrame":
+def minhash_signatures(
+    docs: "DataFrame",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    shingled: "DataFrame | None" = None,
+) -> "DataFrame":
     """Per-doc MinHash signature via a universal-hash family:
     ``sig[i] = min over shingles of (A[i]*h(s) + B[i]) mod P``.
 
@@ -75,6 +80,11 @@ def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHA
     cannot re-inline the shingle hashing k times (higher-order lambdas are
     interpreted, so expression count is the cost driver — the naive
     k-md5s-per-shingle form ran ~8x slower and took ~30 s of codegen).
+
+    ``shingled`` optionally supplies a precomputed (doc_id, shingles)
+    frame so a caller composing several shingle consumers (jaccard verify)
+    can materialize the shingle table once — the minhash-index-build
+    boundary a 100 TB deployment persists between stages.
     """
     a_arr = "array(" + ", ".join(str(v) for v in MINHASH_A[:k]) + ")"
     b_arr = "array(" + ", ".join(str(v) for v in MINHASH_B[:k]) + ")"
@@ -85,15 +95,20 @@ def minhash_signatures(docs: "DataFrame", text_col: str = "text", k: int = MINHA
       (acc, h) -> transform(sequence(0, {k - 1}),
         i -> least(element_at(acc, i + 1),
                    (element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1)) % {MINHASH_P})))"""
-    return _with_shingles(docs, text_col).select(
-        "doc_id", F.expr(sig).alias("signature")
-    )
+    src = _with_shingles(docs, text_col) if shingled is None else shingled
+    return src.select("doc_id", F.expr(sig).alias("signature"))
 
 
-def lsh_bands(docs: "DataFrame", text_col: str = "text", k: int = MINHASH_K, bands: int = LSH_BANDS) -> "DataFrame":
+def lsh_bands(
+    docs: "DataFrame",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    shingled: "DataFrame | None" = None,
+) -> "DataFrame":
     """Explode each signature into (band_idx, band_hash) bucket keys."""
     rows = k // bands
-    sigs = minhash_signatures(docs, text_col, k)
+    sigs = minhash_signatures(docs, text_col, k, shingled=shingled)
     band_hash = h60_spark(
         f"array_join(transform(slice(signature, b * {rows} + 1, {rows}), "
         f"x -> cast(x as string)), ',')"
@@ -112,6 +127,7 @@ def lsh_candidate_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     max_bucket: int = MAX_BUCKET,
+    shingled: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Distinct candidate pairs (a < b) sharing any LSH band bucket.
 
@@ -121,7 +137,7 @@ def lsh_candidate_pairs(
     knobs (more bands => higher recall; lower cap => tighter worst-case
     pair fan-out) — arguments, not module edits (VERDICT r02 #3).
     """
-    band_rows = lsh_bands(docs, text_col, k, bands)
+    band_rows = lsh_bands(docs, text_col, k, bands, shingled=shingled)
     buckets = band_rows.groupBy("band_idx", "band_hash").agg(
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_bucket).alias("ids")
     ).filter(F.size("ids") > 1)
@@ -144,13 +160,20 @@ def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold:
 
     The join fanning shingle sets onto the (small) candidate-pair side is
     broadcast-able; AQE handles it at runtime.
+
+    The shingle table is checkpointed and shared by all three consumers
+    (the LSH candidate pass and both pair sides) — without it the
+    interpreted tokenize+shingle chain ran 3x over the full corpus in one
+    plan.  Materializing the shingle/signature table between candidate
+    generation and verification is exactly what a 100 TB dedup run does.
     """
     shingled = _with_shingles(docs, text_col).select(
-        "doc_id", F.array_distinct("shingles").alias("sh")
-    )
-    pairs = lsh_candidate_pairs(docs, text_col)
-    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        "doc_id", "shingles"
+    ).localCheckpoint(eager=False)
+    dist = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    pairs = lsh_candidate_pairs(docs, text_col, shingled=shingled)
+    a = dist.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = dist.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
