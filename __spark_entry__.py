@@ -386,6 +386,30 @@ def _q_doc_wrap_hyphen(spark, sf):
     return text_analysis.wrap_lines(payload, width=_HYPHEN_WIDTH, hyphenate=True)
 
 
+def _q_enrich_dict(spark, sf):
+    """T15 enricher-family driver query: the dictionary translator (the
+    deterministic model-translator stand-in) applied to the documents
+    text through the REGISTERED enricher, with a full value twin —
+    per-token mapping fidelity is the family contract being checked."""
+    from manga_translator_spark.operators.enrich import (
+        TRANSLATE_LEXICON,
+        make_enrich_dict,
+    )
+
+    keys = ", ".join(f"'{k}'" for k, _ in TRANSLATE_LEXICON)
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "text", F.col("text").alias("extracted_text")
+    )
+    return make_enrich_dict()(docs).select(
+        "doc_id",
+        F.col("extracted_text").alias("translated"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), "
+            f"w -> array_contains(array({keys}), lower(w)))) AS INT)"
+        ).alias("n_mapped"),
+    )
+
+
 def _q_doc_bpe_tokens(spark, sf):
     return text_analysis.bpe_token_stats(_t(spark, sf, "documents"))
 
@@ -776,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "doc_wrap_lines": _q_doc_wrap_lines,
         "doc_wrap_hyphen": _q_doc_wrap_hyphen,
+        "enrich_dict_translate": _q_enrich_dict,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
         "token_surprise": _q_token_surprise,
@@ -1233,6 +1258,23 @@ def oracle_sql() -> dict[str, str]:
              CAST(([{_nl_list}])[(doc_id % {_n})::INT + 1] AS INT) AS n_lines,
              ([{_wr_list}])[(doc_id % {_n})::INT + 1] AS wrapped,
              CAST(([{_fit_list}])[(doc_id % {_n})::INT + 1] AS INT) AS fits
+      FROM documents
+    """
+
+    # T15 dictionary-translator twin: same lexicon constant, CASE-chain
+    # per-token lookup (enrich.dict_translate_duck), plus the mapped-token
+    # count over the ORIGINAL text.
+    from manga_translator_spark.operators.enrich import (
+        TRANSLATE_LEXICON as _LEX,
+        dict_translate_duck as _dtd,
+    )
+
+    _lex_keys = ", ".join(f"'{k}'" for k, _ in _LEX)
+    sql["enrich_dict_translate"] = f"""
+      SELECT doc_id,
+             {_dtd('text')} AS translated,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains([{_lex_keys}], lower(w)))) AS INT) AS n_mapped
       FROM documents
     """
 

@@ -72,6 +72,7 @@ QUERY_NAMES = (
     "winnow_fingerprint",
     "doc_wrap_lines",
     "doc_wrap_hyphen",
+    "enrich_dict_translate",
     "doc_bpe_tokens",
     "doc_repetition",
     "token_surprise",

@@ -1,0 +1,178 @@
+"""Per-request extraction server (S7 + P5) — the ui/main.py analogue.
+
+The reference serves its pipeline over HTTP: ``GET /info`` enumerates
+every plugin with its argument schema (ui/main.py:223-305) and each
+``POST`` builds a FRESH pipeline from the request's own plugin config
+(ui/main.py:104-107,164-172 — ``construct_plugin_by_name`` per slot,
+then run, then write the result bytes straight back).  This job is that
+serving layer for the web-text engine:
+
+* ``GET /info``  -> ``plans.pipeline.describe()`` as JSON (same
+  introspection contract: stages, slots, per-plugin arg schemas);
+* ``POST /extract[?url=...&config=<json>]`` -> request body is ONE
+  payload (HTML bytes, or a ``%PDF-`` document — routed exactly like
+  ``operators/pdf_extract.extract_any``); a fresh ``PipelineConfig`` is
+  built from the request's ``config`` JSON (P5: per-request pipeline
+  instantiation) with unknown plugin names rejected 400 — the
+  ``construct_plugin_by_name`` raising contract (get.py:18-19); the
+  response body is the extraction result as JSON (the engine's "result
+  bytes": text spans, not pixels);
+* errors -> 500 with the traceback as the body (ui/main.py:114-119
+  verbatim behavior).
+
+Per-request work runs the SHARED Python kernels (oracle.extract_page /
+pdf_extract_kernel) — the same code the Spark stages execute per row, so
+a served answer is byte-identical to the batch engine's row for the same
+payload (tested).  Spark is deliberately NOT in the request path: a
+single page is one kernel call, and the reference's per-request pipeline
+is single-image too.  Batch-only config fields (mode, n_buckets) are
+accepted and ignored here, ``recognize=false`` is honored.
+
+Usage:  python jobs/serve.py [--port 8765] [--host 127.0.0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from manga_translator_spark.functions.pdf import PDF_MAGIC
+from manga_translator_spark.plans.pipeline import (
+    ASSEMBLERS,
+    CLEANERS,
+    ENRICHERS,
+    REPAIRERS,
+    PipelineConfig,
+    describe,
+)
+
+
+def validate_config(d: dict) -> PipelineConfig:
+    """Per-request construct_plugin analogue: unknown slot names raise
+    (get.py:18-19 -> our 400)."""
+    cfg = PipelineConfig.from_dict(d)
+    for slot, registry in (
+        ("cleaner", CLEANERS),
+        ("assembler", ASSEMBLERS),
+        ("enricher", ENRICHERS),
+        ("repair", REPAIRERS),
+    ):
+        name = getattr(cfg, slot)
+        if name not in registry:
+            raise KeyError(f"unknown {slot} plugin: {name!r}")
+    return cfg
+
+
+def handle_extract(payload: bytes, cfg: PipelineConfig, url: str) -> dict:
+    """One payload -> result dict, via the shared kernels (html/pdf
+    routed like extract_any).  Testable without sockets."""
+    if payload[: len(PDF_MAGIC)] == PDF_MAGIC:
+        from manga_translator_spark.operators.pdf_extract import pdf_extract_kernel
+
+        text, spans, n_blocks = pdf_extract_kernel(payload)
+        return {
+            "url": url,
+            "extracted_text": text,
+            "n_blocks": n_blocks,
+            "spans": [dict(s) for s in spans],
+            "recognized": [],
+        }
+    from manga_translator_spark.oracle import extract_page
+
+    res = extract_page(url, payload)
+    return {
+        "url": res.url,
+        "extracted_text": res.extracted_text,
+        "n_blocks": res.n_blocks,
+        "spans": [
+            {"block_idx": b, "start": s, "end": e} for (b, s, e) in res.spans
+        ],
+        "recognized": (
+            [[i, t] for (i, t) in res.recognized] if cfg.recognize else []
+        ),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # quiet by default; --verbose re-enables
+        if getattr(self.server, "verbose", False):
+            super().log_message(*args)
+
+    def _json(self, status: int, obj: dict) -> None:
+        body = json.dumps(obj).encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, status: int, text: str) -> None:
+        body = text.encode("utf-8")
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html")  # ui/main.py:115
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802 - stdlib naming
+        if urlparse(self.path).path == "/info":
+            self._json(200, describe())
+        else:
+            self._error(404, "routes: GET /info, POST /extract")
+
+    def do_POST(self):  # noqa: N802
+        parsed = urlparse(self.path)
+        if parsed.path != "/extract":
+            self._error(404, "routes: GET /info, POST /extract")
+            return
+        try:
+            qs = parse_qs(parsed.query)
+            try:
+                cfg = validate_config(
+                    json.loads(qs["config"][0]) if "config" in qs else {}
+                )
+            except (KeyError, ValueError) as exc:
+                self._error(400, f"bad config: {exc}")
+                return
+            url = qs.get("url", ["request://post"])[0]
+            n = int(self.headers.get("Content-Length", 0))
+            payload = self.rfile.read(n)
+            if not payload:
+                raise ValueError("No payload sent")  # "No Image Sent"
+            self._json(200, handle_extract(payload, cfg, url))
+        except Exception:  # noqa: BLE001 - ui/main.py:114-119 contract
+            traceback.print_exc()
+            self._error(500, traceback.format_exc())
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Bound-but-not-serving server (tests drive serve_forever in a
+    thread; port=0 picks a free port, server.server_address has it)."""
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    srv = make_server(args.host, args.port)
+    srv.verbose = args.verbose
+    print(json.dumps({"serving": f"http://{args.host}:{srv.server_address[1]}"}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,8 +107,74 @@ def make_enrich_batched(
     return enrich
 
 
+# Deterministic token-level translation lexicon (en -> de), deliberately
+# small + frozen (the STOPWORDS discipline) and ascii-only.  This is the
+# offline stand-in for the reference's model translators (DeepL/OpenAI/HF,
+# translation/deepl.py etc.): the FAMILY contract — per-token transform,
+# unknown tokens pass through unchanged — is what the engine implements;
+# swapping a real model in is the make_enrich_batched model_call hook.
+TRANSLATE_LEXICON: tuple[tuple[str, str], ...] = (
+    ("and", "und"),
+    ("batch", "stapel"),
+    ("fast", "schnell"),
+    ("hash", "streuwert"),
+    ("join", "verbund"),
+    ("key", "schluessel"),
+    ("merge", "mischung"),
+    ("order", "reihenfolge"),
+    ("part", "teil"),
+    ("scan", "abtastung"),
+    ("small", "klein"),
+    ("sort", "sortierung"),
+    ("stream", "strom"),
+    ("table", "tabelle"),
+    ("the", "der"),
+    ("window", "fenster"),
+)
+
+
+def dict_translate_spark(col: str, lexicon=TRANSLATE_LEXICON) -> str:
+    """Spark SQL fragment: per-token lexicon mapping over space-split
+    ``col`` (extraction output is single-space normalized), unknown
+    tokens unchanged.  try_element_at: ANSI map lookup throws on miss."""
+    entries = ", ".join(f"'{k}', '{v}'" for k, v in lexicon)
+    return (
+        f"array_join(transform(split({col}, ' '), "
+        f"w -> coalesce(try_element_at(map({entries}), lower(w)), w)), ' ')"
+    )
+
+
+def dict_translate_duck(col: str, lexicon=TRANSLATE_LEXICON) -> str:
+    """DuckDB twin fragment — same lexicon, CASE-chain lookup."""
+    case = (
+        "CASE lower(w) "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in lexicon)
+        + " ELSE w END"
+    )
+    return (
+        f"array_to_string(list_transform(string_split({col}, ' '), "
+        f"w -> {case}), ' ')"
+    )
+
+
+def make_enrich_dict(
+    lexicon: tuple[tuple[str, str], ...] = TRANSLATE_LEXICON,
+) -> Callable[["DataFrame"], "DataFrame"]:
+    """Dictionary-translator enricher: pure codegen token mapping on the
+    assembled extraction — zero shuffle, zero Python."""
+
+    def enrich(df: "DataFrame") -> "DataFrame":
+        return df.withColumn(
+            "extracted_text",
+            F.expr(dict_translate_spark("extracted_text", lexicon)),
+        )
+
+    return enrich
+
+
 ENRICHERS: dict[str, Callable[["DataFrame"], "DataFrame"]] = {
     "pipe": enrich_pipe,
     "debug": make_enrich_debug(),
     "batched": make_enrich_batched(),
+    "dict": make_enrich_dict(),
 }

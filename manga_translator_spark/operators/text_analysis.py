@@ -548,6 +548,12 @@ def token_surprise(
     Output: doc_id, n_tokens, surprise_ppm (integer) — high = rare
     vocabulary (gibberish-ish), low = corpus-dominant boilerplate.
     """
+    # NOTE: the exploded token table feeds both the frequency aggregate
+    # and the score join, so the tokenizer fold nominally runs twice —
+    # but checkpointing the exploded rows to share it was MEASURED slower
+    # (1.39 -> 2.00 s at sf0.1): the explode multiplies rows and the
+    # materialization dwarfs the recompute (the fused.py
+    # don't-ship-big-intermediates rule).  Recompute wins; leave it.
     toks = with_tokens(docs, text_col).select(
         "doc_id", "n_tokens", F.explode("tokens").alias("tok")
     )

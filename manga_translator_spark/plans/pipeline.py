@@ -101,6 +101,7 @@ PLUGIN_ARGS: dict[str, dict[str, dict[str, dict]]] = {
         "pipe": {},
         "debug": {"constant": {"type": "str", "default": "meow"}},
         "batched": {"batch_rows": {"type": "int", "default": 512}},
+        "dict": {"lexicon": {"type": "tuple[tuple[str, str], ...]", "default": "TRANSLATE_LEXICON"}},
     },
     "repairer": {
         "none": {},

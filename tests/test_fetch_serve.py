@@ -1,0 +1,163 @@
+"""S4 fetch source + S7/P5 per-request serving layer.
+
+The fetch tests use local transports only (file:// URLs, bare paths, an
+injected fake http fetcher) — the sandbox has no external network, and
+the injectable-transport design is exactly what makes that testable.
+The serve tests drive the real HTTP server over localhost and assert the
+served answer is byte-identical to the shared kernel's.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pandas as pd
+import pytest
+
+from manga_translator_spark.corpus import generate_corpus
+from manga_translator_spark.oracle import extract_page
+
+
+def test_fetch_pages_local_transports(spark, tmp_path):
+    """file:// URLs and bare paths read locally (the reference's
+    else-branch, ui/main.py:36-41 incl. the '?' strip); http(s) goes
+    through the injected fetcher; failures land in the error column."""
+    from manga_translator_spark.sources.http import as_pages, fetch_pages
+
+    p1 = tmp_path / "a.html"
+    p1.write_bytes(b"<html><p>alpha doc</p></html>")
+    p2 = tmp_path / "b.html"
+    p2.write_bytes(b"<html><p>beta doc</p></html>")
+
+    def fake_http(url: str) -> bytes:
+        if url.startswith(("http://", "https://")):
+            return b"<html><p>remote " + url.encode() + b"</p></html>"
+        from manga_translator_spark.sources.http import default_fetcher
+
+        return default_fetcher(url)
+
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    f"file://{p1}",
+                    f"{p2}?ignored=1",
+                    "http://example.test/x",
+                    str(tmp_path / "missing.html"),
+                ]
+            }
+        )
+    )
+    got = {r["url"]: r for r in fetch_pages(urls, fetcher=fake_http).collect()}
+    assert bytes(got[f"file://{p1}"]["html"]) == p1.read_bytes()
+    assert bytes(got[f"{p2}?ignored=1"]["html"]) == p2.read_bytes()
+    assert bytes(got["http://example.test/x"]["html"]).startswith(b"<html><p>remote")
+    bad = got[str(tmp_path / "missing.html")]
+    assert bad["html"] is None and "FileNotFoundError" in bad["error"]
+    # as_pages keeps only successes, standard schema
+    pages = as_pages(fetch_pages(urls, fetcher=fake_http), lang="en")
+    assert pages.count() == 3
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    # on_error="raise" restores the reference's raising contract
+    with pytest.raises(Exception):  # Spark wraps the worker's exception
+        fetch_pages(urls, fetcher=fake_http, on_error="raise").collect()
+    with pytest.raises(ValueError):
+        fetch_pages(urls, on_error="nope")
+
+
+def test_fetch_pages_host_partitioning(spark):
+    """partition_by_host shuffles on the JVM-side parse_url host — the
+    politeness layout (one host, one task)."""
+    from manga_translator_spark.sources.http import fetch_pages
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [f"http://h{i % 3}.test/p{i}" for i in range(30)]})
+    )
+    df = fetch_pages(urls, fetcher=lambda u: b"x", partition_by_host=True)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "parse_url" in plan and "RepartitionByExpression" in plan, plan
+    rows = fetch_pages(urls, fetcher=lambda u: u.split("/")[2].encode(),
+                       partition_by_host=True).collect()
+    assert len(rows) == 30
+    assert all(bytes(r["html"]).decode() == r["url"].split("/")[2] for r in rows)
+
+
+def _post(base: str, payload: bytes, query: str = "") -> tuple[int, bytes]:
+    req = urllib.request.Request(
+        base + "/extract" + query, data=payload, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jobs.serve as serve
+
+    srv = serve.make_server("127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_serve_info_and_extract_parity(server):
+    """GET /info mirrors describe(); POST /extract answers byte-identical
+    to the shared kernel for both html and PDF payloads (P5: fresh config
+    per request, unknown plugins 400, empty body 500)."""
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import pdf_extract_kernel
+    from manga_translator_spark.plans.pipeline import describe
+
+    with urllib.request.urlopen(server + "/info", timeout=10) as resp:
+        info = json.loads(resp.read())
+    assert info["slots"] == describe()["slots"]
+    assert "operators" in info and "plugins" in info
+
+    row = generate_corpus(3)[2]
+    status, body = _post(server, bytes(row["html"]), f"?url={row['url']}")
+    assert status == 200
+    got = json.loads(body)
+    exp = extract_page(row["url"], bytes(row["html"]))
+    assert got["extracted_text"] == exp.extracted_text
+    assert got["n_blocks"] == exp.n_blocks
+    assert [(s["block_idx"], s["start"], s["end"]) for s in got["spans"]] == [
+        (b, s, e) for (b, s, e) in exp.spans
+    ]
+    assert got["recognized"] == [[i, t] for (i, t) in exp.recognized]
+
+    # recognize=false honored per-request (P5 config)
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"recognize":false}'
+    )
+    assert status == 200 and json.loads(body)["recognized"] == []
+
+    # PDF payloads route through the PDF kernel
+    pdf = make_pdf([(72, 600, 11, "pdf body text"), (72, 700, 16, "Title")])
+    status, body = _post(server, pdf)
+    text, spans, n = pdf_extract_kernel(pdf)
+    got = json.loads(body)
+    assert status == 200 and got["extracted_text"] == text and got["n_blocks"] == n
+
+    # unknown plugin -> 400 (construct_plugin_by_name raising contract)
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"cleaner":"nope"}'
+    )
+    assert status == 400 and b"unknown cleaner" in body
+
+    # empty body -> 500 with traceback text (ui/main.py error contract)
+    status, body = _post(server, b"")
+    assert status == 500 and b"No payload" in body
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
