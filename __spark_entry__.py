@@ -572,6 +572,34 @@ def _q_latest_snapshot(spark, sf):
     return latest_snapshot(snaps).select("url", F.md5("html").alias("digest"))
 
 
+def _q_snapshot_asof(spark, sf):
+    """As-of (time-travel) read over the multi-snapshot crawl table:
+    cutoff 250 s into the crawl keeps only urls whose first snapshot
+    landed by then (warc_ts = midnight + doc_id%3600 seconds), and the
+    one-day-later re-crawls are all excluded — digest-only output, the
+    cutoff re-derived arithmetically in the twin."""
+    from manga_translator_spark.operators.dedup import snapshot_asof
+
+    base = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    recrawl = (
+        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
+        .withColumn(
+            "html", F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "utf-8"))
+        )
+    )
+    snaps = base.unionByName(recrawl)
+    return snapshot_asof(snaps, "2025-06-01 00:04:10").select(
+        "url", F.md5("html").alias("digest")
+    )
+
+
 def _q_crawl_refresh(spark, sf):
     """Composed crawl-refresh pipeline: multi-snapshot table -> newest
     snapshot per url -> full extraction.  The re-crawl CHANGES the article
@@ -809,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_routed": _q_extract_routed,
         "extract_delta": _q_extract_delta,
         "latest_snapshot": _q_latest_snapshot,
+        "snapshot_asof": _q_snapshot_asof,
         "crawl_refresh": _q_crawl_refresh,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "scrub_pii": _q_scrub_pii,
@@ -1580,6 +1609,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from manga_translator_spark.functions.urlnorm import canonical_url_duck
+
+    # as-of twin: cutoff 00:04:10 == 250 s after the crawl epoch; a url's
+    # first snapshot exists iff doc_id % 3600 <= 250, and the +1 day
+    # re-crawls are always past the cutoff — so the expected winner is
+    # the v1 digest for exactly that id range (no timestamp column ever
+    # crosses the compare).
+    sql["snapshot_asof"] = f"""
+      SELECT 'doc://' || doc_id::VARCHAR AS url,
+             md5('{_PAGE_PRE}' || text || '{_PAGE_POST}') AS digest
+      FROM documents WHERE doc_id % 3600 <= 250
+    """
 
     sql["url_canonical_dedup"] = f"""
       SELECT {canonical_url_duck('url')} AS canon_url,

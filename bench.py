@@ -79,6 +79,7 @@ QUERY_NAMES = (
     "scrub_pii",
     "url_canonical_dedup",
     "latest_snapshot",
+    "snapshot_asof",
     "crawl_refresh",
     "extract_delta",
     "extract_routed",

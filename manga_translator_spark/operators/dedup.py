@@ -346,6 +346,30 @@ def latest_snapshot(pages: "DataFrame") -> "DataFrame":
     )
 
 
+def snapshot_asof(pages: "DataFrame", ts: str) -> "DataFrame":
+    """Newest snapshot per url at-or-before ``ts`` — the time-travel read
+    a multi-snapshot crawl table needs ("the web as of June 1"); urls
+    first crawled after ``ts`` drop out entirely.
+
+    Same rank-limited window as :func:`latest_snapshot` (partial
+    WindowGroupLimit below the exchange) behind a plain ``warc_ts <= ts``
+    filter that pushes to the scan — on a warc_ts-partitioned table that
+    is partition pruning, so an as-of read touches only the prefix of the
+    crawl it needs.  The driver twin sidesteps timestamp canonicalization
+    the latest_snapshot way: digest-only output, the cutoff re-derived
+    arithmetically.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.md5("html")))
+    return (
+        pages.filter(F.col("warc_ts") <= F.lit(ts).cast("timestamp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def dedup_canonical_url(df: "DataFrame", url_col: str = "url") -> "DataFrame":
     """URL-level dedup: group by CANONICAL url (functions/urlnorm.py —
     fragment stripped, scheme/host lowercased, default port dropped, query

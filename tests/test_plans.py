@@ -368,6 +368,24 @@ def test_latest_snapshot_window_is_rank_limited(spark, tmp_path, pages_df):
     ) >= 2
 
 
+def test_snapshot_asof_filter_pushes_to_scan(spark, tmp_path, pages_df):
+    """The as-of cutoff must reach the parquet scan as a pushed filter
+    (partition pruning on a warc_ts-partitioned crawl table), and the
+    rank window keeps the partial WindowGroupLimit below the exchange."""
+    from pyspark.sql import functions as F
+
+    from manga_translator_spark.operators.dedup import snapshot_asof
+
+    path = str(tmp_path / "snaps_ts")
+    pages_df.withColumn(
+        "warc_ts", F.expr("timestamp'2025-06-01 00:00:00'")
+    ).write.parquet(path)
+    plan = _plan(snapshot_asof(spark.read.parquet(path), "2025-06-02 00:00:00"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "warc_ts" in pushed[0], plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_token_surprise_aggregates_map_side(spark, tmp_path):
     """The token-count stage must partial-aggregate before its exchange
     (the map-side combine that makes corpus word-count scale), and the

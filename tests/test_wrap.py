@@ -98,6 +98,29 @@ def test_hyphenated_wrap_reference_contracts():
     assert wrap_lines_hyphenated("present", 5, hyphenator=Hyphenator()) is None
 
 
+@given(
+    st.lists(
+        st.sampled_from(
+            ["the", "unbelievable", "hyphenation", "running", "committee",
+             "transformation", "a", "x1", "misspelling", "wrestling"]
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+    st.integers(min_value=5, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_hyphenated_wrap_width_invariant(words, w):
+    """Whenever the hyphenated wrap succeeds, EVERY emitted line fits the
+    wrap width — the invariant the transplanted fit/flow quirks must
+    preserve (each part is placed only when its end <= width)."""
+    from manga_translator_spark.functions.hyphen import wrap_lines_hyphenated
+
+    lines = wrap_lines_hyphenated(" ".join(words), w)
+    if lines is not None:
+        assert all(len(ln) <= w for ln in lines), (lines, w)
+
+
 @given(st.lists(st.text(alphabet="ab1 ", min_size=0, max_size=8), max_size=8),
        st.integers(min_value=3, max_value=12))
 @settings(max_examples=60, deadline=None)
