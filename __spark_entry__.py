@@ -365,7 +365,12 @@ def _q_doc_wrap_lines(spark, sf):
 _HYPHEN_PHRASES = (
     "the unbelievable hyphenation committee",
     "transformation running wrestling",
-    "xylophones impossible",
+    # 'xylophonically' (14 chars, no Liang points) has NO fitting version
+    # at width 12 -> the whole wrap fails: this row exercises the
+    # fits=0 / NULL branch of BOTH the operator and the twin (r4 review:
+    # the previous 'xylophones impossible' phrase wrapped fine, leaving
+    # the NULL branch dead in the gate)
+    "xylophonically impossible",
     "plain short words stay the same",
     "present tense words",
     "scan merge join batch window",

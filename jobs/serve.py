@@ -25,8 +25,21 @@ pdf_extract_kernel) — the same code the Spark stages execute per row, so
 a served answer is byte-identical to the batch engine's row for the same
 payload (tested).  Spark is deliberately NOT in the request path: a
 single page is one kernel call, and the reference's per-request pipeline
-is single-image too.  Batch-only config fields (mode, n_buckets) are
-accepted and ignored here, ``recognize=false`` is honored.
+is single-image too.
+
+Which config knobs the request path honors (and how dishonoring fails
+LOUDLY — r4 review: a validated-but-ignored slot silently served wrong
+answers):
+* ``recognize`` — honored (drops the recognized list);
+* ``enricher`` — honored: pipe/batched are identity on a single page
+  (batched is a transport batching of MANY pages; one request IS a
+  batch of one), debug/dict apply their kernel transforms;
+* ``assembler`` — any registered name accepted: arrays/exploded are
+  physical strategies with identical output (tests assert equality);
+* ``cleaner`` != "strip" and ``repair`` != "none" — REJECTED 501: those
+  slots only exist as Spark stage compositions; serving a default-
+  pipeline answer while claiming the requested plugin would be wrong.
+* batch-only physical fields (mode, n_buckets) — ignored by design.
 
 Usage:  python jobs/serve.py [--port 8765] [--host 127.0.0.1]
 """
@@ -54,9 +67,16 @@ from manga_translator_spark.plans.pipeline import (
 )
 
 
+class BatchOnlyPlugin(Exception):
+    """A known plugin that has no per-request (single-kernel) analogue."""
+
+
 def validate_config(d: dict) -> PipelineConfig:
     """Per-request construct_plugin analogue: unknown slot names raise
-    (get.py:18-19 -> our 400)."""
+    KeyError (get.py:18-19 -> our 400); known-but-batch-only selections
+    raise BatchOnlyPlugin (-> 501) instead of being silently ignored."""
+    if not isinstance(d, dict):
+        raise ValueError(f"config must be a JSON object, got {type(d).__name__}")
     cfg = PipelineConfig.from_dict(d)
     for slot, registry in (
         ("cleaner", CLEANERS),
@@ -67,7 +87,25 @@ def validate_config(d: dict) -> PipelineConfig:
         name = getattr(cfg, slot)
         if name not in registry:
             raise KeyError(f"unknown {slot} plugin: {name!r}")
+    if cfg.cleaner != "strip":
+        raise BatchOnlyPlugin(f"cleaner {cfg.cleaner!r} is batch-only")
+    if cfg.repair != "none":
+        raise BatchOnlyPlugin(f"repair {cfg.repair!r} is batch-only")
     return cfg
+
+
+def _enrich_text(cfg: PipelineConfig, text: str) -> str:
+    """The enricher slot's per-request kernel (operators/enrich.py
+    semantics on one document): pipe/batched identity, debug constant,
+    dict token-lexicon mapping."""
+    if cfg.enricher == "debug":
+        return "meow" if text else text
+    if cfg.enricher == "dict":
+        from manga_translator_spark.operators.enrich import TRANSLATE_LEXICON
+
+        lex = dict(TRANSLATE_LEXICON)
+        return " ".join(lex.get(w.lower(), w) for w in text.split(" "))
+    return text
 
 
 def handle_extract(payload: bytes, cfg: PipelineConfig, url: str) -> dict:
@@ -79,7 +117,7 @@ def handle_extract(payload: bytes, cfg: PipelineConfig, url: str) -> dict:
         text, spans, n_blocks = pdf_extract_kernel(payload)
         return {
             "url": url,
-            "extracted_text": text,
+            "extracted_text": _enrich_text(cfg, text),
             "n_blocks": n_blocks,
             "spans": [dict(s) for s in spans],
             "recognized": [],
@@ -89,7 +127,7 @@ def handle_extract(payload: bytes, cfg: PipelineConfig, url: str) -> dict:
     res = extract_page(url, payload)
     return {
         "url": res.url,
-        "extracted_text": res.extracted_text,
+        "extracted_text": _enrich_text(cfg, res.extracted_text),
         "n_blocks": res.n_blocks,
         "spans": [
             {"block_idx": b, "start": s, "end": e} for (b, s, e) in res.spans
@@ -138,6 +176,9 @@ class _Handler(BaseHTTPRequestHandler):
                 cfg = validate_config(
                     json.loads(qs["config"][0]) if "config" in qs else {}
                 )
+            except BatchOnlyPlugin as exc:
+                self._error(501, f"batch-only plugin: {exc}")
+                return
             except (KeyError, ValueError) as exc:
                 self._error(400, f"bad config: {exc}")
                 return

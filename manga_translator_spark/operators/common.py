@@ -21,13 +21,22 @@ def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
     The probe is ``inputFiles()`` (logical-plan file listing), NOT
     ``df.rdd.getNumPartitions()`` — the latter converts the physical plan
     to an RDD at *plan* time for every scoring operator (VERDICT r03 #5).
-    Non-file-backed frames (in-memory test frames, post-shuffle stages)
-    report zero files and pass through untouched: their parallelism is
-    already set by their source/shuffle.  A wide multi-file scan
-    (>= target files) also passes through; a few big splittable files
-    under-count partitions and get a redundant-but-harmless round-robin —
-    at corpus scale file counts dwarf the target, so this is the
-    small-input case by construction.
+    Non-file-backed frames (in-memory test frames, checkpointed RDD-backed
+    frames) report zero files and pass through untouched.  A wide
+    multi-file scan (>= target files) also passes through; a few big
+    splittable files under-count partitions and get a
+    redundant-but-harmless round-robin — at corpus scale file counts
+    dwarf the target, so this is the small-input case by construction.
+
+    ``inputFiles()`` sees THROUGH wide operators to the leaf scan (a
+    joined/aggregated frame still reports the leaf parquet files — r4
+    review), so a small file count alone would add a redundant exchange
+    after every join.  The second, logical-plan guard handles that: any
+    shuffle-introducing node (Join/Aggregate/Repartition/Window/
+    Deduplicate) means the frame's parallelism is already set by
+    ``spark.sql.shuffle.partitions`` and spread must not touch it.  The
+    logical plan is already built at this point — the string scan costs
+    no analysis work.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
@@ -35,6 +44,12 @@ def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
         n_files = len(df.inputFiles())
     except Exception:  # pragma: no cover - defensive: unresolvable plans
         return df
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if not (0 < n_files < target):
+        return df
+    plan = df._jdf.queryExecution().logical().toString()
+    if any(
+        node in plan
+        for node in ("Join", "Aggregate", "Repartition", "Window", "Deduplicate")
+    ):
+        return df
+    return df.repartition(target)

@@ -133,11 +133,18 @@ TRANSLATE_LEXICON: tuple[tuple[str, str], ...] = (
 )
 
 
+def _sq(s: str) -> str:
+    """SQL string-literal escape — the lexicon is a caller-supplied plugin
+    argument, and a natural entry like ("dont", "don't") must not break
+    (or worse, rewrite) the generated query (r4 review)."""
+    return s.replace("'", "''")
+
+
 def dict_translate_spark(col: str, lexicon=TRANSLATE_LEXICON) -> str:
     """Spark SQL fragment: per-token lexicon mapping over space-split
     ``col`` (extraction output is single-space normalized), unknown
     tokens unchanged.  try_element_at: ANSI map lookup throws on miss."""
-    entries = ", ".join(f"'{k}', '{v}'" for k, v in lexicon)
+    entries = ", ".join(f"'{_sq(k)}', '{_sq(v)}'" for k, v in lexicon)
     return (
         f"array_join(transform(split({col}, ' '), "
         f"w -> coalesce(try_element_at(map({entries}), lower(w)), w)), ' ')"
@@ -148,7 +155,7 @@ def dict_translate_duck(col: str, lexicon=TRANSLATE_LEXICON) -> str:
     """DuckDB twin fragment — same lexicon, CASE-chain lookup."""
     case = (
         "CASE lower(w) "
-        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in lexicon)
+        + " ".join(f"WHEN '{_sq(k)}' THEN '{_sq(v)}'" for k, v in lexicon)
         + " ELSE w END"
     )
     return (

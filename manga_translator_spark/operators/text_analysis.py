@@ -235,8 +235,13 @@ def _wrap_lines_hyphenated(docs: "DataFrame", width: int) -> "DataFrame":
             wrap_lines_hyphenated,
         )
 
-        hyph = Hyphenator()  # per-task caches, shared across rows
         for pdf in batches:
+            # ONE cache per Arrow batch, not per task: the word caches
+            # are unbounded by design (HyphenationCache lives one draw
+            # call in the reference, utils.py:92) and a per-task cache
+            # would grow with the partition's distinct-word count for
+            # the task's lifetime (r4 review)
+            hyph = Hyphenator()
             lines = [
                 wrap_lines_hyphenated(t, width, hyphenator=hyph)
                 for t in pdf["text"]

@@ -99,7 +99,10 @@ def fetch_pages(
 
     src = urls.select("url")
     if partition_by_host:
-        src = src.repartition(F.expr("parse_url(url, 'HOST')"))
+        # try_parse_url: under ANSI mode parse_url THROWS on a malformed
+        # url, killing the whole job before the per-row error capture
+        # ever runs (r4 review) — NULL keys just co-locate the junk rows.
+        src = src.repartition(F.expr("try_parse_url(url, 'HOST')"))
     return src.mapInPandas(gen, schema="url STRING, html BINARY, error STRING")
 
 

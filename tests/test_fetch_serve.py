@@ -73,17 +73,33 @@ def test_fetch_pages_host_partitioning(spark):
     from manga_translator_spark.sources.http import fetch_pages
 
     urls = spark.createDataFrame(
-        pd.DataFrame({"url": [f"http://h{i % 3}.test/p{i}" for i in range(30)]})
+        pd.DataFrame(
+            {
+                "url": [f"http://h{i % 3}.test/p{i}" for i in range(30)]
+                # a malformed url must NOT abort the shuffle (ANSI
+                # parse_url throws; try_parse_url keys it NULL — r4
+                # review) — the per-row capture still records its error
+                + ["http://bad url with spaces/x"]
+            }
+        )
     )
     df = fetch_pages(urls, fetcher=lambda u: b"x", partition_by_host=True)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "extended"
     )
-    assert "parse_url" in plan and "RepartitionByExpression" in plan, plan
-    rows = fetch_pages(urls, fetcher=lambda u: u.split("/")[2].encode(),
-                       partition_by_host=True).collect()
-    assert len(rows) == 30
-    assert all(bytes(r["html"]).decode() == r["url"].split("/")[2] for r in rows)
+    assert "try_parse_url" in plan and "RepartitionByExpression" in plan, plan
+
+    def fetch_or_raise(u: str) -> bytes:
+        if " " in u:
+            raise ValueError("malformed")
+        return u.split("/")[2].encode()
+
+    rows = fetch_pages(urls, fetcher=fetch_or_raise, partition_by_host=True).collect()
+    assert len(rows) == 31
+    by_url = {r["url"]: r for r in rows}
+    bad = by_url.pop("http://bad url with spaces/x")
+    assert bad["html"] is None and "ValueError" in bad["error"]
+    assert all(bytes(r["html"]).decode() == u.split("/")[2] for u, r in by_url.items())
 
 
 def _post(base: str, payload: bytes, query: str = "") -> tuple[int, bytes]:
@@ -146,11 +162,39 @@ def test_serve_info_and_extract_parity(server):
     got = json.loads(body)
     assert status == 200 and got["extracted_text"] == text and got["n_blocks"] == n
 
+    # enricher slot HONORED per-request (r4 review: validated-but-ignored
+    # slots silently served default answers)
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"enricher":"debug"}'
+    )
+    assert status == 200
+    assert json.loads(body)["extracted_text"] == ("meow" if exp.extracted_text else "")
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"enricher":"dict"}'
+    )
+    from manga_translator_spark.operators.enrich import TRANSLATE_LEXICON
+
+    lex = dict(TRANSLATE_LEXICON)
+    exp_dict = " ".join(
+        lex.get(w.lower(), w) for w in exp.extracted_text.split(" ")
+    )
+    assert status == 200 and json.loads(body)["extracted_text"] == exp_dict
+
     # unknown plugin -> 400 (construct_plugin_by_name raising contract)
     status, body = _post(
         server, bytes(row["html"]), '?config={"cleaner":"nope"}'
     )
     assert status == 400 and b"unknown cleaner" in body
+
+    # known-but-batch-only plugin -> 501, never a silently-default answer
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"cleaner":"mask"}'
+    )
+    assert status == 501 and b"batch-only" in body
+
+    # config that is JSON but not an object -> 400, not a 500 traceback
+    status, body = _post(server, bytes(row["html"]), "?config=[1]")
+    assert status == 400 and b"bad config" in body
 
     # empty body -> 500 with traceback text (ui/main.py error contract)
     status, body = _post(server, b"")

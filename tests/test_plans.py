@@ -368,6 +368,29 @@ def test_latest_snapshot_window_is_rank_limited(spark, tmp_path, pages_df):
     ) >= 2
 
 
+def test_spread_probe_semantics(spark, tmp_path):
+    """spread() repartitions small file scans, passes through in-memory
+    frames AND post-shuffle frames — inputFiles() sees through joins to
+    the leaf scan, so without the logical-plan guard every spread() call
+    site downstream of a join would add a redundant exchange (r4 review)."""
+    import pandas as pd
+
+    from manga_translator_spark.operators.common import spread
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": ["x"] * 10})
+    ).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert spread(scan).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    mem = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["y"]}))
+    assert spread(mem) is mem
+    joined = scan.alias("a").join(scan.alias("b").select("doc_id"), "doc_id")
+    assert spread(joined) is joined
+    agg = scan.groupBy("text").count()
+    assert spread(agg) is agg
+
+
 def test_snapshot_asof_filter_pushes_to_scan(spark, tmp_path, pages_df):
     """The as-of cutoff must reach the parquet scan as a pushed filter
     (partition pruning on a warc_ts-partitioned crawl table), and the
