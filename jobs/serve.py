@@ -9,6 +9,10 @@ serving layer for the web-text engine:
 
 * ``GET /info``  -> ``plans.pipeline.describe()`` as JSON (same
   introspection contract: stages, slots, per-plugin arg schemas);
+* ``POST /clean`` and ``POST /translate`` mirror the reference's two
+  pipeline routes (ui/main.py:326-337): /clean forces the cleaner-only
+  pipeline (recognition off — its detect+segment+clean analogue),
+  /translate is the full pipeline (alias of /extract);
 * ``POST /extract[?url=...&config=<json>]`` -> request body is ONE
   payload (HTML bytes, or a ``%PDF-`` document — routed exactly like
   ``operators/pdf_extract.extract_any``); a fresh ``PipelineConfig`` is
@@ -167,8 +171,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         parsed = urlparse(self.path)
-        if parsed.path != "/extract":
-            self._error(404, "routes: GET /info, POST /extract")
+        if parsed.path not in ("/extract", "/clean", "/translate"):
+            self._error(404, "routes: GET /info, POST /extract|/clean|/translate")
             return
         try:
             qs = parse_qs(parsed.query)
@@ -182,6 +186,12 @@ class _Handler(BaseHTTPRequestHandler):
             except (KeyError, ValueError) as exc:
                 self._error(400, f"bad config: {exc}")
                 return
+            if parsed.path == "/clean":
+                # the reference's /clean route runs the cleaner-only
+                # pipeline (detect+segment+clean, no OCR/translate,
+                # ui/main.py:74-119) — here: extraction without the
+                # recognition stage, whatever the config said
+                cfg.recognize = False
             url = qs.get("url", ["request://post"])[0]
             n = int(self.headers.get("Content-Length", 0))
             payload = self.rfile.read(n)

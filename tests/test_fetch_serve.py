@@ -196,6 +196,22 @@ def test_serve_info_and_extract_parity(server):
     status, body = _post(server, bytes(row["html"]), "?config=[1]")
     assert status == 400 and b"bad config" in body
 
+    # /clean forces the cleaner-only pipeline (no recognition) and
+    # /translate aliases the full pipeline (reference routes ui/main.py)
+    req = urllib.request.Request(
+        server + "/clean", data=bytes(row["html"]), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        cleaned = json.loads(resp.read())
+    assert cleaned["recognized"] == []
+    assert cleaned["extracted_text"] == exp.extracted_text
+    req = urllib.request.Request(
+        server + "/translate", data=bytes(row["html"]), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        translated = json.loads(resp.read())
+    assert translated["recognized"] == [[i, t] for (i, t) in exp.recognized]
+
     # empty body -> 500 with traceback text (ui/main.py error contract)
     status, body = _post(server, b"")
     assert status == 500 and b"No payload" in body

@@ -125,12 +125,22 @@ def test_hyphenated_wrap_width_invariant(words, w):
        st.integers(min_value=3, max_value=12))
 @settings(max_examples=60, deadline=None)
 def test_hyphenated_equals_pure_when_no_split_possible(parts, w):
-    """Words with no hyphenation points (short / non-alpha) reduce the
-    hyphenated wrapper to the pure one — the reference's two variants
-    collapse to the same path the same way."""
-    from manga_translator_spark.functions.hyphen import wrap_lines_hyphenated
+    """Words with no hyphenation points reduce the hyphenated wrapper to
+    the pure one — the reference's two variants collapse to the same
+    path the same way.  Liang-splittable words are filtered out by
+    QUERYING the scorer, not assumed from the alphabet (hypothesis found
+    'abbaa', which b1b splits — exactly the divergence the hyphenated
+    variant exists to provide)."""
+    from hypothesis import assume
 
+    from manga_translator_spark.functions.hyphen import (
+        Hyphenator,
+        wrap_lines_hyphenated,
+    )
+
+    h = Hyphenator()
     text = " ".join(parts)
+    assume(all(not h.points(word) for word in text.split()))
     assert wrap_lines_hyphenated(text, w) == wrap_lines(text, w)
 
 
