@@ -34,9 +34,13 @@ the unit-cell metric of functions/wrap.py:
   version when nothing fit mid-line) flow onto fresh lines with the
   pure wrapper's greedy rule.
 
-When no split is ever selected the output is identical to
+When no split is ever selected the LINES output is identical to
 ``wrap_text_pure`` — asserted in tests (the reference's two variants
-reduce to the same pure path the same way).
+reduce to the same pure path the same way).  The ``bounds`` x-value can
+differ by the trailing space cell: the mid-line branch records the raw
+word end where the pure wrapper records the space-advanced offset — a
+reference-faithful quirk (utils.py:227 vs :165), which is why the
+equality contract is scoped to the lines view.
 """
 
 from __future__ import annotations
@@ -111,9 +115,6 @@ class Hyphenator:
         self.max_pat = max(len(k) for k in self.table) if self.table else 0
         self.exceptions = EXCEPTIONS if exceptions is None else exceptions
         self._points: dict[str, tuple[int, ...]] = {}
-        self._versions: dict[
-            tuple[str, float], list[list[tuple[str, int]]]
-        ] = {}
 
     def points(self, word: str) -> tuple[int, ...]:
         """Allowed split indices into ``word`` (ascending), Liang-scored:
@@ -151,23 +152,20 @@ class Hyphenator:
     ) -> list[list[tuple[str, int]]]:
         """Fitting word versions, reference order: whole word first, then
         single splits longest-left-first; versions whose widest part
-        exceeds ``wrap_width`` are dropped (filter_out_impossible)."""
-        key = (word, wrap_width)
-        cached = self._versions.get(key)
-        if cached is not None:
-            return cached
+        exceeds ``wrap_width`` are dropped (filter_out_impossible).
+
+        Deliberately NOT cached on the Hyphenator: widths come from the
+        caller's ``cache`` (the pluggable metric, wrap.py:41), and a
+        version cache keyed only by (word, width) would return STALE
+        widths when a different metric is plugged in (r4 review).  The
+        expensive step — Liang scoring — is the metric-independent
+        :meth:`points` cache; width lookups are memoized by the
+        WidthCache itself, and list assembly is trivial."""
         raw: list[list[tuple[str, int]]] = [[(word, cache.get(word))]]
         for p in reversed(self.points(word)):
             left, right = word[:p] + "-", word[p:]
             raw.append([(left, cache.get(left)), (right, cache.get(right))])
-        out = [
-            v for v in raw if max(wd for _, wd in v) <= wrap_width
-        ]
-        self._versions[key] = out
-        return out
-
-
-_DEFAULT = Hyphenator()
+        return [v for v in raw if max(wd for _, wd in v) <= wrap_width]
 
 
 def _fit_best_version(
@@ -231,8 +229,14 @@ def wrap_text_hyphenated(
     """wrap_text_with_hyphenator transplant (utils.py:185-267) on the
     unit-cell metric.  Returns None when some word has NO fitting version
     even after hyphenation (vs the pure wrapper, which gives up on any
-    overlong word — hyphenation is exactly the extra degree of freedom)."""
-    hyph = hyphenator or _DEFAULT
+    overlong word — hyphenation is exactly the extra degree of freedom).
+
+    ``hyphenator=None`` builds a fresh scorer per call — the default path
+    must not accumulate state across calls (a module-global default
+    would grow its word cache forever in a long-lived worker; r4
+    review).  Batch callers pass one Hyphenator per batch for reuse
+    (operators/text_analysis._wrap_lines_hyphenated)."""
+    hyph = hyphenator or Hyphenator()
     cache = cache or WidthCache()
     words = [w for w in _WS_RE.split(text) if w]
     all_versions = [hyph.versions(w, wrap_width, cache) for w in words]

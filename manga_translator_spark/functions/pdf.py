@@ -175,7 +175,10 @@ def _unhex(raw: bytes) -> str:
     except ValueError:
         return ""
     if payload[:2] == b"\xfe\xff":
-        return payload[2:].decode("utf-16-be", "replace")
+        try:
+            return payload[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return ""  # malformed UTF-16: drop, never emit U+FFFD garbage
     return payload.decode("latin-1")
 
 

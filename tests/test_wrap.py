@@ -191,6 +191,48 @@ def test_wrap_lines_hyphenate_operator(spark):
             assert n_diff > 0  # the rich frame exercises real splits
 
 
+def test_hyphenator_respects_plugged_metric():
+    """A reused Hyphenator must not serve widths computed under a
+    different metric: versions are assembled from the CALLER's WidthCache
+    every call (r4 review — a (word,width)-keyed version cache returned
+    stale unit-cell widths to a double-width metric)."""
+    from manga_translator_spark.functions.hyphen import Hyphenator, wrap_text_hyphenated
+
+    class DoubleCache(WidthCache):
+        def get(self, word: str) -> int:
+            w = self.cache.get(word)
+            if w is None:
+                w = self.cache[word] = 2 * len(word)
+            return w
+
+    h = Hyphenator()
+    unit = wrap_text_hyphenated("hello world", 12, hyphenator=h)
+    assert [ln.text for ln in unit.lines] == ["hello world"]
+    wide = wrap_text_hyphenated(
+        "hello world", 12, hyphenator=h, cache=DoubleCache()
+    )
+    assert [ln.text for ln in wide.lines] == ["hello", "world"]
+
+
+def test_pdf_malformed_utf16_hex_never_emits_garbage():
+    """A BOM-prefixed hex string with an odd UTF-16 payload must drop to
+    empty text, not U+FFFD (the never-emit-garbage kernel rule)."""
+    import zlib
+
+    from manga_translator_spark.functions.pdf import extract_pdf_blocks
+
+    content = zlib.compress(b"BT /F1 10 Tf 5 5 Td <FEFF41> Tj ET")
+    raw = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    texts = [b.text for b in extract_pdf_blocks(raw)]
+    assert all("�" not in t for t in texts)
+    assert texts in ([], [""])
+
+
 def test_width_cache_memoizes():
     cache = WidthCache()
     wrap_text_pure("aa bb aa aa bb", 10, cache=cache)
