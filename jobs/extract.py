@@ -100,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
             )
             cur = pages.withColumn("digest", F.md5("html"))
             pages = cur.join(prev, ["url", "digest"], "left_anti").drop("digest")
+        if args.until and args.route_pdf:
+            p.error(
+                "--route-pdf is not supported with --until: staged-prefix "
+                "debugging runs the HTML pipeline only (the router would be "
+                "silently bypassed)"
+            )
         if args.until:
             from manga_translator_spark.plans.pipeline import extract
 

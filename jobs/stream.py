@@ -86,7 +86,13 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
     else:
         q.awaitTermination()
-    n_rows = spark.read.parquet(args.out).count()
+    try:
+        n_rows = spark.read.parquet(args.out).count()
+    except Exception:
+        # zero micro-batches committed (empty input dir, or every row
+        # filtered before the first commit): the sink path was never
+        # created — report 0 instead of crashing a successful drain
+        n_rows = 0
     print(json.dumps({
         "sink": args.out,
         "rows_in_sink": n_rows,

@@ -27,7 +27,15 @@ if TYPE_CHECKING:
 
 
 def with_host(pages: "DataFrame", url_col: str = "url") -> "DataFrame":
-    return pages.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+    return pages.withColumn("host", host_expr(url_col))
+
+
+def host_expr(url_col: str = "url") -> "F.Column":
+    """The ONE host-grouping key (JVM parse_url HOST: case-robust, port
+    stripped) — batch metrics AND the streaming monitors share it so
+    their groupings can never drift (r4 review: a streaming regex
+    re-implementation bucketed uppercase schemes under '')."""
+    return F.parse_url(F.col(url_col), F.lit("HOST"))
 
 
 def host_metrics_salted(
@@ -45,12 +53,17 @@ def host_metrics_salted(
         .groupBy("host", "salt")
         .agg(
             F.count("*").alias("_n"),
+            # _nn counts NON-NULL lengths: avg must divide by it, not by
+            # the row count, or a host with NULL-text rows diverges from
+            # host_metrics_direct's F.avg (r4 review); nullif keeps the
+            # all-NULL host at NULL like avg (and ANSI-safe).
+            F.count(length_col).alias("_nn"),
             F.sum(length_col.cast("long")).alias("_len"),
         )
     )
     return partial.groupBy("host").agg(
         F.sum("_n").alias("n_pages"),
-        (F.sum("_len") / F.sum("_n")).alias("avg_len"),
+        F.expr("sum(_len) / nullif(sum(_nn), 0)").alias("avg_len"),
     )
 
 

@@ -84,13 +84,17 @@ def _model_call(texts: list[str], scores: list[float]) -> list[tuple[bool, str]]
     return list(zip(keeps, trimmed))
 
 
-def repair_candidates(classified: "DataFrame") -> "DataFrame":
-    """Explode only the gray-zone boilerplate patches (T9-style fan-out)."""
+def repair_candidates(classified: "DataFrame", gray_lo: float = GRAY_LO) -> "DataFrame":
+    """Explode only the gray-zone boilerplate patches (T9-style fan-out).
+
+    ``gray_lo`` is the gray-zone floor — the per-corpus knob describe()
+    advertises (wired through repair_model/model_clean; r4 review found
+    it advertised but unreachable)."""
     return (
         classified.select("url", F.explode("blocks").alias("b"))
         .filter(
             (F.col("b.cls") == CLS_BOILERPLATE)
-            & (F.col("b.score") >= GRAY_LO)
+            & (F.col("b.score") >= gray_lo)
             & (F.length("b.text") > 0)
         )
         .select(
@@ -102,14 +106,14 @@ def repair_candidates(classified: "DataFrame") -> "DataFrame":
     )
 
 
-def model_clean(classified: "DataFrame") -> "DataFrame":
+def model_clean(classified: "DataFrame", gray_lo: float = GRAY_LO) -> "DataFrame":
     """(url, blocks...) -> (url, repaired: array<struct<block_idx, keep, text>>).
 
     Join the (small) verdict table back on url; pages without gray-zone
     patches simply don't appear — callers coalesce, exactly like the
     recognize stage.
     """
-    cands = repair_candidates(classified)
+    cands = repair_candidates(classified, gray_lo)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,12 +170,12 @@ def apply_repairs(classified: "DataFrame", verdicts: "DataFrame") -> "DataFrame"
     return joined.withColumn("blocks", F.expr(patched)).drop("repaired", "rep")
 
 
-def repair_model(classified: "DataFrame") -> "DataFrame":
+def repair_model(classified: "DataFrame", gray_lo: float = GRAY_LO) -> "DataFrame":
     """Config-selectable repair plugin: verdicts + paste-back in one step."""
-    return apply_repairs(classified, model_clean(classified))
+    return apply_repairs(classified, model_clean(classified, gray_lo))
 
 
-def repair_none(classified: "DataFrame") -> "DataFrame":
+def repair_none(classified: "DataFrame", **_) -> "DataFrame":
     return classified
 
 

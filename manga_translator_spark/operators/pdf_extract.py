@@ -86,8 +86,16 @@ def extract_pdfs(pages: "DataFrame") -> "DataFrame":
 
 
 def is_pdf_payload() -> "F.Column":
-    """JVM-side content sniff: first five payload bytes == %PDF-."""
-    return F.expr(f"substring(html, 1, 5) = X'{_PDF_MAGIC_HEX}'")
+    """JVM-side content sniff: first five payload bytes == %PDF-.
+
+    NULL-safe: a NULL payload is NOT a pdf (coalesce false) — a bare
+    equality is NULL for NULL html, which fails BOTH router branch
+    filters and silently drops the row, breaking the pass-through
+    row-count contract the HTML path guarantees (r4 review; the HTML
+    kernel handles None payloads explicitly)."""
+    return F.expr(
+        f"coalesce(substring(html, 1, 5) = X'{_PDF_MAGIC_HEX}', false)"
+    )
 
 
 def extract_any(pages: "DataFrame", config=None, *, metrics=None) -> "DataFrame":

@@ -69,18 +69,27 @@ def recognize_embedded(classified: "DataFrame") -> "DataFrame":
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from manga_translator_spark.functions.normalize import is_blank
+
         for pdf in batches:
+            texts = _model_call(list(pdf["img_payload"]))
+            # T14 compaction with the SHARED is_blank (all-whitespace
+            # aware), in the same Python pass the fused path uses — the
+            # SQL trim() below strips ASCII spaces only, so a model
+            # emitting '\t' would diverge staged-vs-fused without this
+            # (r4 review; latent: post_process_ocr strips whitespace)
+            keep = [not is_blank(t) for t in texts]
             yield pd.DataFrame(
                 {
-                    "url": pdf["url"],
-                    "block_idx": pdf["block_idx"],
-                    "text": _model_call(list(pdf["img_payload"])),
+                    "url": [u for u, k in zip(pdf["url"], keep) if k],
+                    "block_idx": [b for b, k in zip(pdf["block_idx"], keep) if k],
+                    "text": [t for t, k in zip(texts, keep) if k],
                 }
             )
 
     recognized = imgs.mapInPandas(run, schema=_REC_SCHEMA)
     return (
-        recognized.filter(F.length(F.trim("text")) > 0)  # T14 compaction
+        recognized.filter(F.length(F.trim("text")) > 0)  # redundant guard
         .groupBy("url")
         .agg(F.sort_array(F.collect_list(F.struct("block_idx", "text"))).alias("recognized"))
     )

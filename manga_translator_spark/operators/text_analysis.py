@@ -577,9 +577,10 @@ def token_surprise(
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(
-                "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) "
-                "ELSE surprise_sum DIV n_tokens END"
-            ).alias("surprise_ppm"),
+            # no zero guard: a zero-token doc produces no exploded rows,
+            # so no group exists and the doc has NO output row at all
+            # (the twin documents the drop as the contract — a guard
+            # here would falsely suggest such docs score 0)
+            F.expr("surprise_sum DIV n_tokens").alias("surprise_ppm"),
         )
     )

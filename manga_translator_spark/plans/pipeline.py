@@ -284,7 +284,10 @@ def extract(
     df = classify_blocks(df)
     if until == "classify":
         return df
-    df = REPAIRERS[cfg.repair](df)
+    # repair knobs ride config.extra (describe() advertises gray_lo for
+    # the model repairer; r4 review — advertised knobs must be settable)
+    repair_args = {k: cfg.extra[k] for k in ("gray_lo",) if k in cfg.extra}
+    df = REPAIRERS[cfg.repair](df, **repair_args)
     if until == "repair":
         return df
     cleaned = CLEANERS[cfg.cleaner](df)

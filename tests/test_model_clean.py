@@ -27,6 +27,29 @@ def test_candidates_are_gray_zone_boilerplate_only(pages_df):
         assert b["cls"] == CLS_BOILERPLATE and b["score"] >= GRAY_LO
 
 
+def test_gray_lo_knob_is_wired(pages_df):
+    """describe() advertises gray_lo for the model repairer — it must be
+    SETTABLE via PipelineConfig.extra (r4 review: it was advertised but
+    unreachable).  gray_lo above every score selects zero candidates, so
+    repair='model' degrades to a byte-exact no-op; gray_lo=0 widens the
+    candidate set beyond the default."""
+    from manga_translator_spark.plans.pipeline import PipelineConfig
+
+    classified = extract(pages_df, until="classify")
+    n_default = repair_candidates(classified).count()
+    n_all = repair_candidates(classified, gray_lo=0.0).count()
+    assert repair_candidates(classified, gray_lo=1e9).count() == 0
+    assert n_all >= n_default > 0
+    none = extract(pages_df, PipelineConfig(repair="none", recognize=False)).collect()
+    muted = extract(
+        pages_df,
+        PipelineConfig(repair="model", recognize=False, extra={"gray_lo": 1e9}),
+    ).collect()
+    assert {r["url"]: r["extracted_text"] for r in muted} == {
+        r["url"]: r["extracted_text"] for r in none
+    }
+
+
 def test_usable_span_interior():
     from manga_translator_spark.operators.model_clean import usable_span
 

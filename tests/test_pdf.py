@@ -119,11 +119,15 @@ def test_extract_any_routes_mixed_payloads(spark, corpus_rows):
                 "lang": "en",
             }
         )
+    # a NULL payload must survive the router as an empty extraction, not
+    # vanish (NULL fails both branch filters with a bare equality sniff)
+    null_row = [{"url": "null://0", "warc_ts": None, "html": None, "text": "", "lang": "en"}]
     df = spark.createDataFrame(
-        pd.DataFrame(html_rows + pdf_pages), schema=PAGES_SCHEMA
+        pd.DataFrame(html_rows + pdf_pages + null_row), schema=PAGES_SCHEMA
     )
     out = {r["url"]: r for r in extract_any(df).collect()}
-    assert len(out) == 35
+    assert len(out) == 36
+    assert out["null://0"]["extracted_text"] == "" and out["null://0"]["n_blocks"] == 0
     golden = {e.url: e.extracted_text for e in extract_corpus(html_rows)}
     for r in html_rows:
         assert out[r["url"]]["extracted_text"] == golden[r["url"]]

@@ -139,6 +139,17 @@ def test_foreach_batch_sink(spark, pages_path, golden, tmp_path):
     assert got.count() == len(golden)
     sample = {r["url"]: r["extracted_text"] for r in got.limit(50).collect()}
     assert all(golden[u].extracted_text == t for u, t in sample.items())
+    # idempotency: replaying an epoch (the crash-between-write-and-
+    # checkpoint-commit case) must not duplicate rows — the epoch-keyed
+    # dynamic overwrite re-overwrites exactly its own partition
+    from manga_translator_spark.streaming.extract_stream import write_epoch
+
+    n_before = got.count()
+    # eager localCheckpoint materializes the rows off the sink files
+    # before we overwrite into the same path
+    replay = got.filter("epoch = 0").drop("epoch").localCheckpoint()
+    write_epoch(replay, 0, out)
+    assert spark.read.parquet(out).count() == n_before
 
 
 def test_streaming_dedup_within_watermark(spark, corpus_rows, tmp_path):
