@@ -59,6 +59,13 @@ def _ensure_shipped(spark: SparkSession) -> None:
     zip_base = os.path.join(staging, "manga_translator_spark_pkg")
     archive = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="manga_translator_spark")
     spark.sparkContext.addPyFile(archive)
+    # cleanup at process exit, NOT immediately: executors fetch (and on
+    # later stages re-verify) the dependency from THIS path — deleting it
+    # eagerly made a second session's re-ship fail with "exists and does
+    # not match contents" (empirically; the zip must outlive the contexts)
+    import atexit
+
+    atexit.register(shutil.rmtree, staging, ignore_errors=True)
     _SHIPPED.add(key)
 
 
@@ -381,6 +388,7 @@ _HYPHEN_WIDTH = 12
 
 
 def _q_doc_wrap_hyphen(spark, sf):
+    _ensure_shipped(spark)  # mapInPandas kernel imports the hyphen module
     arr = "array(" + ", ".join(f"'{p}'" for p in _HYPHEN_PHRASES) + ")"
     payload = _t(spark, sf, "documents").select(
         "doc_id",
@@ -405,12 +413,16 @@ def _q_enrich_dict(spark, sf):
     docs = _t(spark, sf, "documents").select(
         "doc_id", "text", F.col("text").alias("extracted_text")
     )
+    # let-bind the key array outside the per-element lambda (CLAUDE.md
+    # HOF rule — a generated array literal inside the lambda body relies
+    # on constant folding to avoid per-token re-evaluation)
     return make_enrich_dict()(docs).select(
         "doc_id",
         F.col("extracted_text").alias("translated"),
         F.expr(
+            f"element_at(transform(array(array({keys})), ks -> "
             "CAST(size(filter(split(text, ' '), "
-            f"w -> array_contains(array({keys}), lower(w)))) AS INT)"
+            "w -> array_contains(ks, lower(w)))) AS INT)), 1)"
         ).alias("n_mapped"),
     )
 
@@ -551,6 +563,31 @@ def _q_url_canonical_dedup(spark, sf):
     return dedup_canonical_url(messy)
 
 
+def _snapshots_from_documents(spark, sf, mutate_html=None):
+    """Shared multi-snapshot crawl-table fixture (r4 review: this was
+    copy-pasted into three queries): one base snapshot per doc
+    (warc_ts = 2025-06-01 midnight + doc_id%3600 seconds) plus a
+    one-day-later re-crawl of every third doc whose html is transformed
+    by ``mutate_html`` (default: append ``<!--v2-->`` bytes).  The
+    arithmetic twins re-derive these constants — change them in
+    lockstep."""
+    base = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    if mutate_html is None:
+        mutate_html = F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "utf-8"))
+    recrawl = (
+        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
+        .withColumn("html", mutate_html)
+    )
+    return base.unionByName(recrawl)
+
+
 def _q_latest_snapshot(spark, sf):
     """Multi-snapshot crawl table -> one (newest) row per url.  Every
     third document gets a one-day-later re-crawl with changed bytes; the
@@ -559,21 +596,7 @@ def _q_latest_snapshot(spark, sf):
     timestamp canonicalization entirely)."""
     from manga_translator_spark.operators.dedup import latest_snapshot
 
-    base = _pages_from_documents(spark, sf).withColumn(
-        "warc_ts",
-        F.expr(
-            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
-            "cast(substring(url, 7) as int) % 3600)"
-        ),
-    )
-    recrawl = (
-        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
-        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
-        .withColumn(
-            "html", F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "utf-8"))
-        )
-    )
-    snaps = base.unionByName(recrawl)
+    snaps = _snapshots_from_documents(spark, sf)
     return latest_snapshot(snaps).select("url", F.md5("html").alias("digest"))
 
 
@@ -585,21 +608,7 @@ def _q_snapshot_asof(spark, sf):
     cutoff re-derived arithmetically in the twin."""
     from manga_translator_spark.operators.dedup import snapshot_asof
 
-    base = _pages_from_documents(spark, sf).withColumn(
-        "warc_ts",
-        F.expr(
-            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
-            "cast(substring(url, 7) as int) % 3600)"
-        ),
-    )
-    recrawl = (
-        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
-        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
-        .withColumn(
-            "html", F.concat(F.col("html"), F.encode(F.lit("<!--v2-->"), "utf-8"))
-        )
-    )
-    snaps = base.unionByName(recrawl)
+    snaps = _snapshots_from_documents(spark, sf)
     return snapshot_asof(snaps, "2025-06-01 00:04:10").select(
         "url", F.md5("html").alias("digest")
     )
@@ -612,29 +621,18 @@ def _q_crawl_refresh(spark, sf):
     winner's content — not just its digest — flows through extraction."""
     from manga_translator_spark.operators.dedup import latest_snapshot
 
-    base = _pages_from_documents(spark, sf).withColumn(
-        "warc_ts",
-        F.expr(
-            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
-            "cast(substring(url, 7) as int) % 3600)"
+    snaps = _snapshots_from_documents(
+        spark,
+        sf,
+        mutate_html=F.encode(
+            F.replace(
+                F.decode("html", "utf-8"),
+                F.lit("</p></article>"),
+                F.lit(" v2</p></article>"),
+            ),
+            "utf-8",
         ),
     )
-    recrawl = (
-        base.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
-        .withColumn("warc_ts", F.expr("warc_ts + interval 1 day"))
-        .withColumn(
-            "html",
-            F.encode(
-                F.replace(
-                    F.decode("html", "utf-8"),
-                    F.lit("</p></article>"),
-                    F.lit(" v2</p></article>"),
-                ),
-                "utf-8",
-            ),
-        )
-    )
-    snaps = base.unionByName(recrawl)
     _ensure_shipped(spark)
     return extract(latest_snapshot(snaps), PipelineConfig()).select(
         "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")

@@ -21,7 +21,7 @@ Env:
   BENCH_PAGES         corpus size for the extraction leg (default 40000;
                       smaller sizes under-report docs/sec — fixed
                       scheduling/scan overhead dominates a sub-2s job)
-  BENCH_ROUNDS        interleaved rounds per workload (default 3)
+  BENCH_ROUNDS        interleaved rounds per workload (default 5)
 """
 
 from __future__ import annotations
@@ -33,66 +33,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Every contract query except two, so a regression anywhere is visible:
-# extract_pipeline is excluded because the extract_corpus leg times the
-# same pipeline over a pre-staged parquet scan (the 100 TB shape) without
-# the per-call page synthesis, and stream_dedup_digests because it stages
-# a temp parquet snapshot + checkpoint dir inside the call — that's
-# fixture I/O, not operator time (it stays correctness-gated).
-QUERY_NAMES = (
-    "pricing_summary",
-    "revenue_by_nation",
-    "order_fill_left_join",
-    "cust_with_orders_semi",
-    "cust_without_orders_anti",
-    "running_supplier_qty",
-    "top_order_per_cust",
-    "part_words_explode",
-    "orders_by_month",
-    "order_lines_collected",
-    "returns_cube",
-    "segment_set_ops",
-    "events_json",
-    "user_sessions",
-    "rollup_geo",
-    "value_percentiles",
-    "salted_event_counts",
-    "lang_normalize_dim_join",
-    "doc_token_stats",
-    "doc_fingerprint",
-    "doc_langid",
-    "doc_quality",
-    "gopher_quality",
-    "dedup_exact",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "jaccard_pairs",
-    "dedup_clusters",
-    "simhash",
-    "winnow_fingerprint",
-    "doc_wrap_lines",
-    "doc_wrap_hyphen",
-    "enrich_dict_translate",
-    "doc_bpe_tokens",
-    "doc_repetition",
-    "token_surprise",
-    "scrub_pii",
-    "url_canonical_dedup",
-    "latest_snapshot",
-    "snapshot_asof",
-    "crawl_refresh",
-    "extract_delta",
-    "extract_routed",
-    "pdf_extract",
-    "training_corpus",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_stats",
-    "ann_in_bucket_topk",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    "ann_bucket_recall",
-    "embedding_near_dup",
-)
+# Every contract query except two, so a regression anywhere is visible.
+# The list is DERIVED from queries() at run time (r4 review: a
+# hand-maintained copy silently excluded newly added queries); only the
+# exclusions are hand-maintained, with their reasons:
+# - extract_pipeline: the extract_corpus leg times the same pipeline
+#   over a pre-staged parquet scan (the 100 TB shape) without the
+#   per-call page synthesis;
+# - stream_dedup_digests: stages a temp parquet snapshot + checkpoint
+#   dir inside the call — fixture I/O, not operator time (it stays
+#   correctness-gated).
+EXCLUDED_QUERIES = ("extract_pipeline", "stream_dedup_digests")
+
+
+def query_names(qs: dict) -> list:
+    missing = [n for n in EXCLUDED_QUERIES if n not in qs]
+    assert not missing, f"excluded names not in queries(): {missing}"
+    return [n for n in qs if n not in EXCLUDED_QUERIES]
 
 
 def main() -> int:
@@ -114,71 +71,76 @@ def main() -> int:
 
     spark = get_spark(app="bench", master=f"local[{cpus}]")
     qs = entry_mod.queries()
+    names = query_names(qs)
     stage_acc = create_stage_metrics(spark)
 
     # stage the corpus to parquet ONCE, outside every clock: the engine's
     # workload at 100 TB is scan -> extract, and synthetic-page *generation*
     # costs ~4x the parse itself — timing it was measuring the fixture
     tmp = tempfile.mkdtemp(prefix="bench_pages_")
-    pages_path = f"{tmp}/pages.parquet"
-    corpus_df(spark, n_pages, partitions=cpus * 2).write.mode("overwrite").parquet(pages_path)
+    # try/finally: a single failing workload of 52 must not leak the
+    # 40k-page staged corpus in /tmp or the live session (r4 review)
+    try:
+        pages_path = f"{tmp}/pages.parquet"
+        corpus_df(spark, n_pages, partitions=cpus * 2).write.mode("overwrite").parquet(pages_path)
 
-    def run_extract() -> int:
-        return extract(read_pages(spark, pages_path), PipelineConfig(), metrics=stage_acc).count()
+        def run_extract() -> int:
+            return extract(read_pages(spark, pages_path), PipelineConfig(), metrics=stage_acc).count()
 
-    def make_q(name: str):
-        return lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        def make_q(name: str):
+            return lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    workloads: list[tuple[str, object]] = [("extract_corpus", run_extract)]
-    workloads += [(n, make_q(n)) for n in QUERY_NAMES]
+        workloads: list[tuple[str, object]] = [("extract_corpus", run_extract)]
+        workloads += [(n, make_q(n)) for n in names]
 
-    # warm-up: python-worker pool, codegen compile, parquet footer cache
-    extract(read_pages(spark, pages_path).sample(0.1, seed=1), PipelineConfig()).count()
-    for _, fn in workloads[1:]:
-        fn()
+        # warm-up: python-worker pool, codegen compile, parquet footer cache
+        extract(read_pages(spark, pages_path).sample(0.1, seed=1), PipelineConfig()).count()
+        for _, fn in workloads[1:]:
+            fn()
 
-    best: dict[str, float] = {}
-    stage_best: dict[str, int] = {}
-    for _ in range(rounds):
-        for name, fn in workloads:
-            snap = {k: int(v.value) for k, v in stage_acc.items()}
-            t0 = time.monotonic()
-            out = fn()
-            wall = time.monotonic() - t0
-            if name == "extract_corpus":
-                assert out == n_pages, f"pass-through violated: {out} != {n_pages}"
-                if wall < best.get(name, float("inf")):
-                    stage_best = {
-                        k: int(v.value) - snap[k] for k, v in stage_acc.items()
-                    }
-            best[name] = min(best.get(name, float("inf")), wall)
+        best: dict[str, float] = {}
+        stage_best: dict[str, int] = {}
+        for _ in range(rounds):
+            for name, fn in workloads:
+                snap = {k: int(v.value) for k, v in stage_acc.items()}
+                t0 = time.monotonic()
+                out = fn()
+                wall = time.monotonic() - t0
+                if name == "extract_corpus":
+                    assert out == n_pages, f"pass-through violated: {out} != {n_pages}"
+                    if wall < best.get(name, float("inf")):
+                        stage_best = {
+                            k: int(v.value) - snap[k] for k, v in stage_acc.items()
+                        }
+                best[name] = min(best.get(name, float("inf")), wall)
 
-    timings = {name: round(w, 3) for name, w in best.items()}
-    total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_pages / best["extract_corpus"], 1)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "extract_docs_per_sec": docs_per_sec,
-                "extract_pages": n_pages,
-                "extract_stage_ms": stage_best,
-                "bench_rounds": rounds,
-                "estimator": "min-of-rounds, interleaved",
-                "cpus": cpus,
-            }
+        timings = {name: round(w, 3) for name, w in best.items()}
+        total = round(sum(timings.values()), 3)
+        docs_per_sec = round(n_pages / best["extract_corpus"], 1)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "total_bench_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "extract_docs_per_sec": docs_per_sec,
+                    "extract_pages": n_pages,
+                    "extract_stage_ms": stage_best,
+                    "bench_rounds": rounds,
+                    "estimator": "min-of-rounds, interleaved",
+                    "cpus": cpus,
+                }
+            )
         )
-    )
-    spark.stop()
-    import shutil
+        return 0
+    finally:
+        spark.stop()
+        import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return 0
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

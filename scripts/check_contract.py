@@ -30,9 +30,14 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(norm_cell(r[i]) for i in order) for r in rows
-    ), [cols[i] for i in order]
+    # sort key stringifies per cell: a NaN-bearing float column yields
+    # mixed str/float cells ('NaN' vs 1.0) which are unsortable as raw
+    # tuples — sorted() would crash the whole gate with a TypeError
+    # instead of counting one failure (r4 review)
+    normed = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda t: tuple((str(type(c)), str(c)) for c in t)), [
+        cols[i] for i in order
+    ]
 
 
 def run_check(spark, sf_dir: str, only: set[str] | None = None) -> int:
@@ -46,6 +51,12 @@ def run_check(spark, sf_dir: str, only: set[str] | None = None) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            # a typo'd filter must not silently check nothing and exit 0
+            print(f"FAIL unknown query name(s): {', '.join(unknown)}")
+            failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
