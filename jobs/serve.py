@@ -76,11 +76,19 @@ class BatchOnlyPlugin(Exception):
 
 
 def validate_config(d: dict) -> PipelineConfig:
-    """Per-request construct_plugin analogue: unknown slot names raise
-    KeyError (get.py:18-19 -> our 400); known-but-batch-only selections
-    raise BatchOnlyPlugin (-> 501) instead of being silently ignored."""
+    """Per-request construct_plugin analogue: unknown slot names AND
+    unknown top-level fields raise KeyError (get.py:18-19 -> our 400);
+    known-but-batch-only selections raise BatchOnlyPlugin (-> 501)
+    instead of being silently ignored."""
     if not isinstance(d, dict):
         raise ValueError(f"config must be a JSON object, got {type(d).__name__}")
+    # fail-loudly means typo'd FIELDS too, not just plugin names:
+    # PipelineConfig.from_dict silently drops unknown keys (lenient for
+    # YAML forward-compat), so a request with {"recogniz": false} would
+    # otherwise serve defaults with a 200 (ADVICE r4 #3)
+    unknown = set(d) - set(PipelineConfig.__dataclass_fields__)
+    if unknown:
+        raise KeyError(f"unknown config key(s): {', '.join(sorted(unknown))}")
     cfg = PipelineConfig.from_dict(d)
     for slot, registry in (
         ("cleaner", CLEANERS),

@@ -2,10 +2,23 @@
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
+
+# Shuffle-introducing logical nodes: a frame containing one already has its
+# parallelism set by spark.sql.shuffle.partitions, so spread() must not add
+# a redundant exchange on top.  Matched as the FIRST token of a plan line
+# (after the tree art and the unresolved-plan apostrophe), never as a raw
+# substring — a column/view named 'WindowEvents' or a path containing
+# 'Join' must not silently disable the repartition (ADVICE r4 #4).
+_SHUFFLE_NODE_RE = re.compile(
+    r"^[\s:+|-]*'?"
+    r"(?:Join|Aggregate|Repartition(?:ByExpression)?|Window|Deduplicate)\b",
+    re.MULTILINE,
+)
 
 
 def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
@@ -35,8 +48,9 @@ def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
     shuffle-introducing node (Join/Aggregate/Repartition/Window/
     Deduplicate) means the frame's parallelism is already set by
     ``spark.sql.shuffle.partitions`` and spread must not touch it.  The
-    logical plan is already built at this point — the string scan costs
-    no analysis work.
+    logical plan is already built at this point — the node-name match
+    (first token per plan line, not a raw substring) costs no analysis
+    work and is immune to identifiers that merely contain a node name.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
@@ -47,9 +61,6 @@ def spread(df: "DataFrame", min_factor: int = 1) -> "DataFrame":
     if not (0 < n_files < target):
         return df
     plan = df._jdf.queryExecution().logical().toString()
-    if any(
-        node in plan
-        for node in ("Join", "Aggregate", "Repartition", "Window", "Deduplicate")
-    ):
+    if _SHUFFLE_NODE_RE.search(plan):
         return df
     return df.repartition(target)

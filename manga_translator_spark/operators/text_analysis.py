@@ -242,8 +242,13 @@ def _wrap_lines_hyphenated(docs: "DataFrame", width: int) -> "DataFrame":
             # would grow with the partition's distinct-word count for
             # the task's lifetime (r4 review)
             hyph = Hyphenator()
+            # NULL text shares the non-hyphenated fold's contract
+            # (n_lines/wrapped NULL, fits 0) instead of a worker
+            # TypeError from re.split(None) (ADVICE r4 #2)
             lines = [
                 wrap_lines_hyphenated(t, width, hyphenator=hyph)
+                if isinstance(t, str)
+                else None
                 for t in pdf["text"]
             ]
             yield pd.DataFrame(

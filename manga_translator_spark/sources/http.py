@@ -31,12 +31,25 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Callable
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 FETCH_TIMEOUT_SEC = 10
+
+
+def _url_scheme(url: str) -> str:
+    """Coarse scheme class for the allowlist: http/https/file, or
+    "local" for the reference's bare-path else-branch."""
+    if url.startswith("http://"):
+        return "http"
+    if url.startswith("https://"):
+        return "https"
+    if url.startswith("file://"):
+        return "file"
+    return "local"
 
 
 def default_fetcher(url: str, timeout: float = FETCH_TIMEOUT_SEC) -> bytes:
@@ -68,23 +81,72 @@ def fetch_pages(
     fetcher: Callable[[str], bytes] | None = None,
     on_error: str = "null",
     partition_by_host: bool = False,
+    max_per_task: int | None = None,
+    min_interval_sec: float = 0.0,
+    allowed_schemes: tuple[str, ...] = ("http", "https"),
 ) -> "DataFrame":
     """(url) -> (url, html, error): distributed fetch with per-row error
     capture.  ``fetcher`` is shipped by value (cloudpickle) so tests and
     deployments inject transports without touching executors' module
-    state (the enrich.make_enrich_batched discipline)."""
+    state (the enrich.make_enrich_batched discipline).
+
+    ``allowed_schemes`` gates the DEFAULT transport only (ADVICE r4 #5):
+    a crawl table is untrusted input, and the reference-faithful
+    else-branch reads any non-http value as an executor-LOCAL path — so
+    ``file``/``local`` rows error out ("scheme not allowed") unless the
+    job opts in with ``allowed_schemes=("http", "https", "file",
+    "local")``.  An injected ``fetcher`` owns its own policy and is not
+    gated.
+
+    Mega-host skew (VERDICT r4 ask #3): bare ``partition_by_host=True``
+    maps one host -> one task — correct politeness, but a host with 10^8
+    URLs becomes a single straggler.  ``max_per_task=N`` fans each host
+    out over ceil(host_count / N) salted tasks (salt = per-host
+    row_number div N, so every task holds <= N URLs of a host modulo
+    hash-partition collisions); the numbering window shuffles only the
+    url strings, which is noise next to the fetch itself.  Politeness is
+    then kept by the per-task limiter: ``min_interval_sec`` enforces a
+    token-bucket-style minimum gap between successive requests to the
+    same host WITHIN a task, so the aggregate request rate to a host is
+    bounded by ceil(host_count / max_per_task) / min_interval_sec
+    requests per second — pick the pair so that bound honors the
+    crawl-delay contract (e.g. N=10^6, 0.1 s -> <= 10 * n_salts rps).
+    """
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
-    fn = fetcher or default_fetcher
+    if fetcher is None:
+        schemes = tuple(allowed_schemes)
+
+        def fn(u: str, _schemes=schemes) -> bytes:
+            s = _url_scheme(u)
+            if s not in _schemes:
+                raise PermissionError(
+                    f"scheme {s!r} not in allowed_schemes {_schemes!r}"
+                )
+            return default_fetcher(u)
+
+    else:
+        fn = fetcher
     strict = on_error == "raise"
+    interval = float(min_interval_sec)
 
     def gen(batches):
+        import time
+        from urllib.parse import urlsplit
+
+        next_ok: dict[str, float] = {}
         for pdf in batches:
             payloads: list[bytes | None] = []
             errors: list[str | None] = []
             for u in pdf["url"]:
+                if interval > 0:
+                    host = urlsplit(u).netloc
+                    wait = next_ok.get(host, 0.0) - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    next_ok[host] = time.monotonic() + interval
                 try:
                     payloads.append(fn(u))
                     errors.append(None)
@@ -102,7 +164,24 @@ def fetch_pages(
         # try_parse_url: under ANSI mode parse_url THROWS on a malformed
         # url, killing the whole job before the per-row error capture
         # ever runs (r4 review) — NULL keys just co-locate the junk rows.
-        src = src.repartition(F.expr("try_parse_url(url, 'HOST')"))
+        host = F.expr("try_parse_url(url, 'HOST')")
+        if max_per_task:
+            w = W.partitionBy(host).orderBy("url")
+            # pinned partition count: AQE's coalescing is BYTE-based, and
+            # a url list is tiny in bytes but huge in fetch cost — an
+            # adaptive exchange would merge the salted tasks right back
+            # into one.  User-specified counts are exempt from coalescing.
+            n_parts = urls.sparkSession.sparkContext.defaultParallelism
+            src = (
+                src.withColumn(
+                    "__salt",
+                    F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(int(max_per_task))),
+                )
+                .repartition(n_parts, host, F.col("__salt"))
+                .drop("__salt")
+            )
+        else:
+            src = src.repartition(host)
     return src.mapInPandas(gen, schema="url STRING, html BINARY, error STRING")
 
 

@@ -15,6 +15,7 @@ import urllib.request
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from manga_translator_spark.corpus import generate_corpus
 from manga_translator_spark.oracle import extract_page
@@ -215,6 +216,150 @@ def test_serve_info_and_extract_parity(server):
     # empty body -> 500 with traceback text (ui/main.py error contract)
     status, body = _post(server, b"")
     assert status == 500 and b"No payload" in body
+
+
+def test_fetch_pages_scheme_allowlist(spark, tmp_path):
+    """The DEFAULT transport refuses executor-local reads unless the job
+    opts in (ADVICE r4 #5): a crawl table is untrusted, and the
+    reference-faithful else-branch would otherwise read file:///etc/...
+    rows into the corpus.  Injected fetchers own their own policy."""
+    from manga_translator_spark.sources.http import fetch_pages
+
+    p = tmp_path / "a.html"
+    p.write_bytes(b"<html><p>local</p></html>")
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [f"file://{p}", str(p)]})
+    )
+    # default: file/local are NOT allowed -> per-row PermissionError
+    rows = {r["url"]: r for r in fetch_pages(urls).collect()}
+    assert all(r["html"] is None for r in rows.values())
+    assert all("PermissionError" in r["error"] for r in rows.values())
+    # opted in: both transports read the local file
+    rows = {
+        r["url"]: r
+        for r in fetch_pages(
+            urls, allowed_schemes=("http", "https", "file", "local")
+        ).collect()
+    }
+    assert all(bytes(r["html"]) == p.read_bytes() for r in rows.values())
+    # injected fetcher is not gated
+    got = fetch_pages(urls, fetcher=lambda u: b"x").collect()
+    assert all(bytes(r["html"]) == b"x" for r in got)
+
+
+def test_fetch_pages_mega_host_salt(spark):
+    """max_per_task fans a mega-host out over >1 salted task with a
+    bounded per-task row count (VERDICT r4 ask #3) — bare
+    partition_by_host would send all 10^4 rows to ONE task."""
+    from manga_translator_spark.sources.http import fetch_pages
+
+    n, cap = 10_000, 2_000
+    urls = spark.range(n).selectExpr(
+        "concat('http://mega.test/p', lpad(cast(id as string), 6, '0')) AS url"
+    )
+    df = fetch_pages(
+        urls, fetcher=lambda u: b"x", partition_by_host=True, max_per_task=cap
+    )
+    sizes = [
+        r["n"]
+        for r in df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert sum(sizes) == n
+    assert len(sizes) > 1, "mega-host must fan out over >1 task"
+    # ceil(n/cap)=5 salt keys; hash collisions can co-locate two of them
+    # in one partition, so the hard bound is a small multiple of cap
+    assert max(sizes) <= 2 * cap, sizes
+
+
+def test_fetch_pages_rate_limiter(spark):
+    """min_interval_sec enforces the per-task per-host token-bucket gap:
+    k same-host requests in one task take >= (k-1)*interval; distinct
+    hosts are not serialized against each other."""
+    import time
+
+    from manga_translator_spark.sources.http import fetch_pages
+
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": [f"http://one.test/p{i}" for i in range(4)]})
+    ).coalesce(1)
+    t0 = time.monotonic()
+    assert fetch_pages(urls, fetcher=lambda u: b"x", min_interval_sec=0.15).count() == 4
+    assert time.monotonic() - t0 >= 3 * 0.15
+    # per-host buckets: 4 different hosts, same interval, no 3x wait
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"url": [f"http://h{i}.test/p" for i in range(4)]})
+    ).coalesce(1)
+    t0 = time.monotonic()
+    assert fetch_pages(mixed, fetcher=lambda u: b"x", min_interval_sec=5.0).count() == 4
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_serve_unknown_config_key_400(server):
+    """A typo'd config FIELD is rejected 400 like an unknown plugin name
+    (ADVICE r4 #3) — PipelineConfig.from_dict silently drops unknown
+    keys, so without the explicit check {"recogniz": false} would serve
+    the default pipeline with a 200."""
+    row = generate_corpus(1)[0]
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"recogniz":false}'
+    )
+    assert status == 400 and b"unknown config key" in body
+    # the correctly-spelled field still works
+    status, body = _post(
+        server, bytes(row["html"]), '?config={"recognize":false}'
+    )
+    assert status == 200
+
+
+def test_serve_concurrent_requests_no_bleed(server):
+    """P5 isolation under concurrency (VERDICT r4 ask #5): N parallel
+    POSTs with DIFFERENT per-request configs against the threading
+    server; every response must be byte-identical to its own config's
+    kernel answer — a shared-config bleed would leak one request's
+    enricher/recognize setting into another's answer."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rows = generate_corpus(6)
+    cases = []  # (payload, query, expected_extracted, expect_recognized)
+    for i, row in enumerate(rows):
+        exp = extract_page(row["url"], bytes(row["html"]))
+        if i % 3 == 0:
+            cases.append((bytes(row["html"]), "", exp.extracted_text, True))
+        elif i % 3 == 1:
+            cases.append(
+                (
+                    bytes(row["html"]),
+                    '?config={"enricher":"debug"}',
+                    "meow" if exp.extracted_text else "",
+                    True,
+                )
+            )
+        else:
+            cases.append(
+                (
+                    bytes(row["html"]),
+                    '?config={"recognize":false}',
+                    exp.extracted_text,
+                    False,
+                )
+            )
+
+    def hit(case):
+        payload, query, _, _ = case
+        return _post(server, payload, query)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _round in range(3):  # repeat to widen the interleaving window
+            for (status, body), (_, _, want_text, want_rec) in zip(
+                pool.map(hit, cases), cases
+            ):
+                assert status == 200, body
+                got = json.loads(body)
+                assert got["extracted_text"] == want_text
+                if not want_rec:
+                    assert got["recognized"] == []
 
 
 if __name__ == "__main__":

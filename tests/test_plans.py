@@ -389,6 +389,16 @@ def test_spread_probe_semantics(spark, tmp_path):
     assert spread(joined) is joined
     agg = scan.groupBy("text").count()
     assert spread(agg) is agg
+    # identifiers that merely CONTAIN a shuffle-node name must not
+    # disable the repartition (ADVICE r4 #4: the guard is a line-prefix
+    # node match, not a raw substring scan)
+    trap_path = str(tmp_path / "trap")
+    spark.createDataFrame(
+        pd.DataFrame({"WindowEvents": range(10), "JoinKey": ["x"] * 10})
+    ).coalesce(1).write.parquet(trap_path)
+    trap = spark.read.parquet(trap_path).filter("JoinKey = 'x'")
+    assert "WindowEvents" in trap._jdf.queryExecution().logical().toString()
+    assert spread(trap).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
 
 
 def test_snapshot_asof_filter_pushes_to_scan(spark, tmp_path, pages_df):

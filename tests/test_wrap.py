@@ -191,6 +191,25 @@ def test_wrap_lines_hyphenate_operator(spark):
             assert n_diff > 0  # the rich frame exercises real splits
 
 
+def test_wrap_lines_null_text_contract(spark):
+    """NULL text shares one contract across BOTH variants (ADVICE r4 #2):
+    (n_lines NULL, wrapped NULL, fits 0) — the hyphenated mapInPandas
+    path used to raise TypeError in the worker where the codegen fold
+    yielded the NULL row."""
+    from manga_translator_spark.operators.text_analysis import wrap_lines as op
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", None]})
+    )
+    for hyphenate in (False, True):
+        rows = {r["doc_id"]: r for r in op(docs, width=12, hyphenate=hyphenate).collect()}
+        assert rows[1]["fits"] == 1 and rows[1]["wrapped"] == "alpha beta"
+        null_row = rows[2]
+        assert null_row["n_lines"] is None
+        assert null_row["wrapped"] is None
+        assert null_row["fits"] == 0
+
+
 def test_hyphenator_respects_plugged_metric():
     """A reused Hyphenator must not serve widths computed under a
     different metric: versions are assembled from the CALLER's WidthCache
