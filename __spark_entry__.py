@@ -970,6 +970,30 @@ _MINHASH_CTE = _minhash_cte()
 _BANDS_CTE = _bands_cte()
 
 
+def _oracle_sf_dir() -> str:
+    """The parquet dir the oracle SQL will run against.  The driver's
+    correctness gate always compares at sf0.01, so that is the default;
+    scripts/check_contract.py exports SPARK_GRAFT_ORACLE_SF when it runs
+    the gate at another scale.  Only twins that pin DATA-DERIVED literals
+    (the IVF kmeans centroid table) read this — everything else is
+    sf-independent SQL."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _ivf_cents_values(sf_dir: str) -> str:
+    """VALUES rows (cell, [centroid...]) for the IVF twin, computed by
+    RUNNING the shared kmeans kernel over the oracle's own embeddings
+    parquet (the doc_wrap_hyphen pinned-literal pattern): the Spark side
+    collects the same sample (lowest vec_ids, same float32->float64
+    widening) through the same ivf_kmeans_refine, so the literals match
+    the Spark index bit-for-bit — repr() round-trips each float64
+    exactly through DuckDB's strtod."""
+    rows = similarity.ivf_kmeans_centroid_rows(f"{sf_dir}/embeddings.parquet")
+    return ", ".join(
+        "(%d, [%s])" % (c, ", ".join(repr(v) for v in emb)) for c, emb in rows
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -1536,8 +1560,17 @@ def oracle_sql() -> dict[str, str]:
         f"(sqrt({_dot_duck('e.embedding', 'e.embedding')}) * "
         f"sqrt({_dot_duck('c.embedding', 'c.embedding')}))"
     )
+    # IVF twin (r5): the coarse quantizer is the kmeans centroid table
+    # PINNED as literals — computed by running the shared kernel over the
+    # oracle's own parquet (see _ivf_cents_values) — and the probe set is
+    # rn <= IVF_NPROBE per query, mirroring the raised shipped default
+    # (VERDICT r4 #1).  `scored` holds every (vector, cell) cosine, so
+    # the corpus assignment (rn = 1) and the query probe ranking
+    # (rn <= nprobe over the query subset) are both re-filters of it —
+    # exactly how the Spark side reuses ONE checkpointed ranked table.
     sql["ann_ivf_topk"] = f"""
-      WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings ORDER BY vec_id LIMIT {similarity.IVF_N_CELLS}),
+      WITH cents AS (SELECT * FROM (VALUES {_ivf_cents_values(_oracle_sf_dir())})
+                     AS t(cell, embedding)),
       scored AS (
         SELECT e.vec_id, c.cell, round({cos_ec}, 4) AS cos_c
         FROM embeddings e CROSS JOIN cents c
@@ -1549,9 +1582,15 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rn = 1
       ),
-      ivfq AS (SELECT vec_id AS query_id, cell FROM assigned
-               WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
-                                ORDER BY vec_id LIMIT {similarity.MAX_QUERIES})),
+      ivfq AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell ASC) AS rn
+          FROM scored
+          WHERE vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
+                           ORDER BY vec_id LIMIT {similarity.MAX_QUERIES})
+        ) WHERE rn <= {similarity.IVF_NPROBE}
+      ),
       ivfc AS (
         SELECT query_id, a.vec_id AS neighbor_id
         FROM ivfq JOIN assigned a USING (cell) WHERE a.vec_id != ivfq.query_id

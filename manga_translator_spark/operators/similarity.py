@@ -270,7 +270,11 @@ def embedding_near_dup(
 
 
 IVF_N_CELLS = 16
-IVF_NPROBE = 1
+# Default probe width (r5: raised 1 -> 4 per VERDICT r4 #1).  Candidate
+# work per query is <= nprobe * cell size — still a bounded fraction
+# (nprobe/n_cells) of the corpus — and measured recall at the shipped
+# kmeans+nprobe=4 operating point is in COVERAGE.md.
+IVF_NPROBE = 4
 
 
 def _ivf_centroids(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
@@ -294,40 +298,33 @@ IVF_KMEANS_SAMPLE = 1024
 IVF_KMEANS_ROUNDS = 3
 
 
-def _ivf_centroids_kmeans(
-    embeddings: "DataFrame",
-    n_cells: int,
-    sample_n: int = IVF_KMEANS_SAMPLE,
-    rounds: int = IVF_KMEANS_ROUNDS,
-) -> "DataFrame":
-    """Lloyd-refined IVF centroids over a bounded deterministic sample
-    (VERDICT r03 #4): the ``sample_n`` lowest vec_ids are collected to the
-    driver (an INDEX-BUILD step — bounded like the hyperplane table, not a
-    hot-path collect), L2-normalized, initialized from the first
-    ``n_cells`` sample rows (the first-N variant's own seed), and refined
-    with ``rounds`` fixed Lloyd iterations under the index's cosine
-    metric (assign to argmax dot, ties to the lower cell; new centroid =
-    renormalized mean; empty cells keep their previous centroid).
-    Deterministic by construction — same data, same centroids — so a
-    deployment can pin the result exactly like PLANES.
+def ivf_kmeans_refine(x, n_cells: int, rounds: int = IVF_KMEANS_ROUNDS):
+    """Pure Lloyd-refinement kernel shared by the Spark index build AND
+    the driver-twin builder (the byte-identity-chain discipline): rows in,
+    float64 unit-norm centroids out, deterministic by construction.
 
-    Not the driver-twinned default: ``oracle_sql()`` strings are built
-    without reading data, and a recursive-CTE Lloyd twin buys no coverage
-    the measured recall (``ann_ivf_recall`` with ``centroids='kmeans'``)
-    doesn't already give.  Measured at sf0.01 defaults the refinement
-    lifts mean IVF recall vs the first-N quantizer (numbers in
-    COVERAGE.md)."""
+    Rows are L2-normalized (zero-norm rows dropped), centroids initialize
+    from the first ``n_cells`` surviving rows (the first-N variant's own
+    seed) and refine with ``rounds`` fixed iterations under the cosine
+    metric: assign to argmax dot (ties -> lowest cell), new centroid =
+    renormalized member mean, empty cells keep their previous centroid.
+
+    Raises ValueError on an empty or all-zero-norm sample (ADVICE r4 #1 —
+    np.linalg.norm over a 0-row array raised AxisError before any guard).
+    A sample with fewer nonzero rows than ``n_cells`` yields that many
+    cells — a valid, smaller index; callers wanting exactly n_cells must
+    feed a bigger sample."""
     import numpy as np
 
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(int(sample_n))
-        .collect()
-    )
-    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    x = np.asarray(list(x), dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError(
+            f"kmeans sample must be a non-empty 2-D embedding matrix, got shape {x.shape}"
+        )
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
+    if x.shape[0] == 0:
+        raise ValueError("kmeans sample has no nonzero-norm embeddings")
     cents = x[: int(n_cells)].copy()
     for _ in range(int(rounds)):
         sims = x @ cents.T  # cosine: everything is unit-norm
@@ -339,6 +336,52 @@ def _ivf_centroids_kmeans(
                 n = np.linalg.norm(m)
                 if n > 0:
                     cents[c] = m / n
+    return cents
+
+
+def ivf_kmeans_centroid_rows(
+    embeddings_parquet: str,
+    n_cells: int = IVF_N_CELLS,
+    sample_n: int = IVF_KMEANS_SAMPLE,
+    rounds: int = IVF_KMEANS_ROUNDS,
+) -> list[tuple[int, list[float]]]:
+    """(cell, centroid) rows for the DuckDB twin, computed by RUNNING the
+    shared kernel over the same parquet the oracle queries (the
+    doc_wrap_hyphen pinned-literal pattern, VERDICT r4 #1): the sample is
+    the ``sample_n`` lowest vec_ids — identical rows, identical order,
+    identical float32->float64 widening as the Spark side's collect — so
+    the pinned literals match the Spark index bit-for-bit."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{embeddings_parquet}') "
+        f"ORDER BY vec_id LIMIT {int(sample_n)}"
+    ).fetchall()
+    cents = ivf_kmeans_refine([r[0] for r in rows], n_cells, rounds)
+    return [(int(c), [float(v) for v in cents[c]]) for c in range(cents.shape[0])]
+
+
+def _ivf_centroids_kmeans(
+    embeddings: "DataFrame",
+    n_cells: int,
+    sample_n: int = IVF_KMEANS_SAMPLE,
+    rounds: int = IVF_KMEANS_ROUNDS,
+) -> "DataFrame":
+    """Lloyd-refined IVF centroids over a bounded deterministic sample
+    (VERDICT r03 #4): the ``sample_n`` lowest vec_ids are collected to the
+    driver (an INDEX-BUILD step — bounded like the hyperplane table, not a
+    hot-path collect) and refined by :func:`ivf_kmeans_refine`.
+    Deterministic by construction — same data, same centroids — so a
+    deployment can pin the result exactly like PLANES; the driver twin
+    does exactly that via :func:`ivf_kmeans_centroid_rows` (r5: this IS
+    now the twinned default quantizer — VERDICT r4 #1)."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(int(sample_n))
+        .collect()
+    )
+    cents = ivf_kmeans_refine([r["embedding"] for r in rows], n_cells, rounds)
     spark = embeddings.sparkSession
     return _with_norm(
         spark.createDataFrame(
@@ -387,16 +430,21 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     queries: "DataFrame | None" = None,
     max_queries: int = MAX_QUERIES,
-    centroids: "str | DataFrame" = "first",
+    centroids: "str | DataFrame" = "kmeans",
 ) -> "DataFrame":
     """IVF ANN: exact cosine restricted to the query's ``nprobe`` nearest
     coarse cells.
 
-    ``centroids`` selects the coarse quantizer: ``"first"`` (default,
-    driver-twinned — the n_cells lowest vec_ids), ``"kmeans"``
-    (:func:`_ivf_centroids_kmeans` — deterministic sampled Lloyd
-    refinement, better cell balance / recall), or a prebuilt centroid
-    DataFrame (cell, c_emb, c_norm) for index reuse across queries.
+    ``centroids`` selects the coarse quantizer: ``"kmeans"`` (default as
+    of r5 — :func:`_ivf_centroids_kmeans`, deterministic sampled Lloyd
+    refinement, better cell balance / recall; driver-twinned by pinning
+    the kernel-computed centroid table into the oracle SQL), ``"first"``
+    (the n_cells lowest vec_ids — the cheap legacy quantizer), or a
+    prebuilt centroid DataFrame (cell, c_emb, c_norm) for index reuse
+    across queries.  The shipped (kmeans, nprobe=4) operating point was
+    chosen because the old (first, nprobe=1) default returned ~20% of
+    true neighbors (VERDICT r4 #1); measured recall at both points is in
+    COVERAGE.md.
 
     The scale shape: the corpus partitions into n_cells disjoint cells (a
     shuffle on the cell id), each query probes its nprobe nearest cells (a

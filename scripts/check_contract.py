@@ -49,6 +49,10 @@ def run_check(spark, sf_dir: str, only: set[str] | None = None) -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = entry_mod.queries()
+    # twins that pin data-derived literals (IVF kmeans centroids) must be
+    # built against the SAME parquet this gate compares on; the driver's
+    # own gate runs at sf0.01, which is the unexported default
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     oracles = entry_mod.oracle_sql()
     failures = 0
     if only:

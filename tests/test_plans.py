@@ -243,6 +243,42 @@ def test_ivf_kmeans_centroids_deterministic_and_better(spark):
     assert hits["kmeans"] >= hits["first"] - len(exact) // 20, hits
 
 
+def test_ivf_kmeans_kernel_guards_and_twin_parity(spark):
+    """ADVICE r4 #1: the kmeans kernel fails loudly on an empty or
+    all-zero-norm sample (np.linalg.norm raised AxisError before any
+    guard), yields fewer cells than n_cells on a thin sample, and the
+    twin-builder path (duckdb parquet read -> shared kernel) produces
+    bit-identical centroids to the Spark collect path — the property the
+    pinned-literal oracle depends on."""
+    import numpy as np
+    import pytest as _pytest
+
+    from manga_translator_spark.operators.similarity import (
+        IVF_N_CELLS,
+        _ivf_centroids_kmeans,
+        ivf_kmeans_centroid_rows,
+        ivf_kmeans_refine,
+    )
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        ivf_kmeans_refine([], 4)
+    with _pytest.raises(ValueError, match="nonzero-norm"):
+        ivf_kmeans_refine([[0.0, 0.0], [0.0, 0.0]], 2)
+    thin = ivf_kmeans_refine([[1.0, 0.0], [0.0, 0.0], [0.0, 2.0]], 8)
+    assert thin.shape == (2, 2)  # zero-norm row dropped, 2 < n_cells cells
+    assert np.allclose(np.linalg.norm(thin, axis=1), 1.0)
+
+    pq = "/root/testdata/sf0.001/embeddings.parquet"
+    pinned = ivf_kmeans_centroid_rows(pq)
+    spark_side = sorted(
+        (r["cell"], r["c_emb"])
+        for r in _ivf_centroids_kmeans(spark.read.parquet(pq), IVF_N_CELLS).collect()
+    )
+    assert len(pinned) == len(spark_side) == IVF_N_CELLS
+    for (pc, pemb), (sc_, semb) in zip(pinned, spark_side):
+        assert pc == sc_ and pemb == semb  # exact float64 equality
+
+
 def test_dedup_clusters_max_iters_guard(spark):
     """An adversarial long chain must hit the round bound and raise, not
     loop silently (each round is a full-graph barrier at 100 TB)."""
