@@ -655,6 +655,27 @@ def _q_extract_delta(spark, sf):
     )
 
 
+def _stream_dedup_input(spark, sf):
+    """Synthesized pages + deterministic re-fetches (every third doc
+    duplicated 1 s later under a changed url) — the streaming dedup's
+    bounded replay input, SHARED by the driver query below and bench.py's
+    streaming leg (single-source template discipline: the twin's
+    DISTINCT-digest oracle depends on exactly this duplication scheme)."""
+    pages = _pages_from_documents(spark, sf).withColumn(
+        "warc_ts",
+        F.expr(
+            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
+            "cast(substring(url, 7) as int) % 3600)"
+        ),
+    )
+    refetch = (
+        pages.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
+        .withColumn("url", F.concat(F.col("url"), F.lit("?re")))
+        .withColumn("warc_ts", F.expr("warc_ts + interval 1 second"))
+    )
+    return pages.unionByName(refetch)
+
+
 def _q_stream_dedup_digests(spark, sf):
     """STREAMING driver query with a full hash-checked twin: watermarked
     exact dedup (dropDuplicatesWithinWatermark keyed on the html digest)
@@ -674,21 +695,9 @@ def _q_stream_dedup_digests(spark, sf):
         read_pages_stream,
     )
 
-    pages = _pages_from_documents(spark, sf).withColumn(
-        "warc_ts",
-        F.expr(
-            "timestamp'2025-06-01 00:00:00' + make_interval(0,0,0,0,0,0, "
-            "cast(substring(url, 7) as int) % 3600)"
-        ),
-    )
-    refetch = (
-        pages.filter(F.expr("cast(substring(url, 7) as int) % 3 = 0"))
-        .withColumn("url", F.concat(F.col("url"), F.lit("?re")))
-        .withColumn("warc_ts", F.expr("warc_ts + interval 1 second"))
-    )
     staged = tempfile.mkdtemp(prefix="stream_dedup_")
     try:
-        pages.unionByName(refetch).write.mode("overwrite").parquet(staged + "/pages")
+        _stream_dedup_input(spark, sf).write.mode("overwrite").parquet(staged + "/pages")
         qn = "stream_dedup_" + uuid.uuid4().hex
         q = (
             dedup_pages_stream(read_pages_stream(spark, staged + "/pages"))
