@@ -189,9 +189,16 @@ def _q_running_supplier(spark, sf):
     from pyspark.sql import Window as W
 
     li = _t(spark, sf, "lineitem")
+    # l_quantity is a REQUIRED final tiebreaker: the synthetic lineitem is
+    # not TPC-H-unique — (suppkey, shipdate, orderkey, linenumber) ties
+    # exist (1 at sf0.1, 10 at the scaled sf1), and a ROWS running sum
+    # over an underdetermined order lets each engine pick its own tie
+    # order (caught by the r5 sf1 gate: 3.0-off running sums).  With
+    # quantity last, swapping rows tied on EVERYTHING leaves the emitted
+    # multiset unchanged, so the result is deterministic.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return li.select(
@@ -1080,7 +1087,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT l_suppkey, l_orderkey, l_linenumber,
              round(sum(l_quantity) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       FROM lineitem
     """

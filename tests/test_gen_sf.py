@@ -1,0 +1,111 @@
+"""scripts/gen_sf.py — the key-shifted scale-up generator behind the sf1
+contract validation (VERDICT r4 ask #2).  Pure duckdb/pyarrow, no Spark."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/scripts")
+
+from gen_sf import generate  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_scaled"))
+    generate(SRC, out, factor=3)
+    return out
+
+
+def test_row_counts_and_dims(scaled):
+    for t, ratio in [
+        ("lineitem", 3),
+        ("orders", 3),
+        ("customer", 3),
+        ("documents", 3),
+        ("events", 3),
+        ("embeddings", 3),
+        ("region", 1),
+        ("nation", 1),
+    ]:
+        src_n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        out_n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{scaled}/{t}.parquet')"
+        ).fetchone()[0]
+        assert out_n == src_n * ratio, t
+
+
+def test_keys_disjoint_and_fks_consistent(scaled):
+    # primary keys stay unique across replicas
+    for t, k in [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("embeddings", "vec_id"),
+        ("documents", "doc_id"),
+    ]:
+        dup = duckdb.sql(
+            f"SELECT count(*) - count(DISTINCT {k}) FROM read_parquet('{scaled}/{t}.parquet')"
+        ).fetchone()[0]
+        assert dup == 0, t
+    # every FK resolves: an order's lineitems moved WITH the order
+    for fact, dim, fk, pk in [
+        ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+        ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+        ("lineitem", "part", "l_partkey", "p_partkey"),
+        ("orders", "customer", "o_custkey", "c_custkey"),
+    ]:
+        orphans = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{scaled}/{fact}.parquet') f "
+            f"LEFT JOIN read_parquet('{scaled}/{dim}.parquet') d ON f.{fk} = d.{pk} "
+            f"WHERE d.{pk} IS NULL"
+        ).fetchone()[0]
+        assert orphans == 0, (fact, fk)
+
+
+def test_embeddings_perturbed_not_duplicated(scaled):
+    import pyarrow.parquet as pq
+
+    src = np.asarray(
+        pq.read_table(f"{SRC}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype=np.float32,
+    )
+    out_tbl = pq.read_table(f"{scaled}/embeddings.parquet")
+    out = np.asarray(out_tbl["embedding"].to_pylist(), dtype=np.float32)
+    n = src.shape[0]
+    # replica 0 is verbatim; later replicas are near (cos > 0.9) but not
+    # byte-equal — the ANN family must see near-dup structure, not ties
+    assert np.array_equal(out[:n], src)
+    for i in (1, 2):
+        rep = out[i * n : (i + 1) * n]
+        assert not np.array_equal(rep, src)
+        num = (rep * src).sum(axis=1)
+        den = np.linalg.norm(rep, axis=1) * np.linalg.norm(src, axis=1)
+        ok = den > 0
+        assert (num[ok] / den[ok] > 0.9).mean() > 0.95
+
+
+def test_generator_is_deterministic(scaled, tmp_path):
+    out2 = str(tmp_path / "again")
+    generate(SRC, out2, factor=3)
+    for t in ("embeddings", "lineitem"):
+        a = duckdb.sql(
+            f"SELECT md5(string_agg(row::VARCHAR, '|' ORDER BY row::VARCHAR)) "
+            f"FROM (SELECT * FROM read_parquet('{scaled}/{t}.parquet')) row"
+        ).fetchone()[0]
+        b = duckdb.sql(
+            f"SELECT md5(string_agg(row::VARCHAR, '|' ORDER BY row::VARCHAR)) "
+            f"FROM (SELECT * FROM read_parquet('{out2}/{t}.parquet')) row"
+        ).fetchone()[0]
+        assert a == b, t
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
