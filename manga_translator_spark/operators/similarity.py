@@ -35,6 +35,8 @@ from typing import TYPE_CHECKING
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from manga_translator_spark.operators.common import spread
+
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
@@ -117,6 +119,11 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos_sim rounded, rank).  Rank ties break
     on neighbor_id so results are unique and oracle-comparable.
     """
+    # spread: the broadcast nested-loop inherits the CORPUS side's
+    # partitioning, so a single-file scan would run every interpreted
+    # per-pair dot on one core (measured 26.7 s of a 37.6 s sf1 wall on
+    # one task).  At 100 TB the scan is already wide and this no-ops.
+    embeddings = spread(embeddings)
     base = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "n_norm")
     if queries is None:
         queries = embeddings.select("vec_id", "embedding").filter(
@@ -169,6 +176,7 @@ def lsh_buckets(embeddings: "DataFrame", n_planes: int = N_PLANES, seed: int = P
     """(vec_id, bucket) over ALL n_planes bits — the occupancy/diagnostic
     partitioning (2^n_planes bucket space)."""
     planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
+    embeddings = spread(embeddings)  # n_planes interpreted dots per row
     return embeddings.select(
         "vec_id", F.expr(lsh_signature_expr("embedding", planes)).alias("bucket")
     )
@@ -183,6 +191,7 @@ def lsh_band_buckets(
     """(vec_id, band_idx, bucket): one (n_planes/n_bands)-bit bucket per
     band — the candidate-generation partitioning (multi-probe recall)."""
     planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
+    embeddings = spread(embeddings)  # n_planes interpreted dots per row
     per_band = n_planes // n_bands
     band_sigs = [
         F.expr(
@@ -254,7 +263,7 @@ def embedding_near_dup(
     candidates — exact cosine is computed only for the bounded candidate
     set, never for an uncapped within-bucket self-join."""
     pairs = lsh_candidate_pairs(embeddings, n_planes, n_bands, max_bucket)
-    sides = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm")
+    sides = _with_norm(spread(embeddings).select("vec_id", "embedding"), "embedding", "nrm")
     a = sides.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("norm_a")
     )
@@ -463,6 +472,10 @@ def ann_ivf_topk(
     centroids directly (<= max_queries x n_cells dots — bounded), which
     also lets external, non-corpus queries probe the index.
     """
+    # spread BEFORE the ranked-cells pass: the n_cells interpreted dots
+    # per corpus row run on the scan's partitioning, so a single-file
+    # bench/test scan would assign the whole corpus on one core
+    embeddings = spread(embeddings)
     if isinstance(centroids, str):
         if centroids == "kmeans":
             cent = _ivf_centroids_kmeans(embeddings, n_cells)
@@ -562,7 +575,7 @@ def ann_topk_in_bucket(
     q_emb = _with_norm(q_capped, "embedding", "nrm").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_norm")
     )
-    n_emb = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "nrm").select(
+    n_emb = _with_norm(spread(embeddings).select("vec_id", "embedding"), "embedding", "nrm").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_norm")
     )
     pairs = (
