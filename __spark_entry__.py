@@ -454,8 +454,11 @@ def _pdfs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.common import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread: make_pdf zlib-compresses every payload; over a single-file
+    # documents scan the whole synthesis would run on one task
+    docs = spread(_t(spark, sf_dir, "documents"))
 
     def run(batches):
         for pdf in batches:
@@ -502,7 +505,17 @@ def _q_extract_routed(spark, sf):
         F.lit("").alias("text"),
         F.lit("en").alias("lang"),
     )
-    mixed = html_pages.unionByName(pdf_pages)
+    # materialize the synthesized union ONCE before routing: extract_any's
+    # two branch filters each re-execute their input — correct for a real
+    # crawl scan (two pushed-down scans over disjoint rows), but a COMPUTED
+    # input would run the page+pdf synthesis twice and leave the html rows
+    # in the union's single scan partition.  The round-robin repartition
+    # sets the parse parallelism; the checkpoint pins the rows.
+    mixed = (
+        html_pages.unionByName(pdf_pages)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     return extract_any(mixed).select(
         "url", "extracted_text", "n_blocks", F.to_json("spans").alias("spans_json")
     )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from manga_translator_spark.functions.normalize import normalize_text
 from manga_translator_spark.functions.pdf import extract_pdf_blocks
+from manga_translator_spark.operators.common import spread
 from manga_translator_spark.schema import EXTRACTED_SCHEMA
 
 if TYPE_CHECKING:
@@ -82,7 +83,10 @@ def extract_pdfs(pages: "DataFrame") -> "DataFrame":
                 }
             )
 
-    return pages.select("url", "html").mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    # spread: the per-payload deflate+layout kernel is the expensive part;
+    # a narrow (single-file) scan would run it on one task (wide scans and
+    # in-memory frames pass through — operators/common.spread contract)
+    return spread(pages.select("url", "html")).mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 
 def is_pdf_payload() -> "F.Column":
@@ -105,6 +109,12 @@ def extract_any(pages: "DataFrame", config=None, *, metrics=None) -> "DataFrame"
     recognized); the PDF branch emits the same schema.  Column order is
     aligned by name.  ``metrics`` passes through to the HTML pipeline's
     stage accumulators (the PDF branch is a single kernel stage).
+
+    Input contract: each branch filter re-executes ``pages`` — for a
+    file-backed crawl table that is the intended shape (two pushed-down
+    scans over disjoint row sets), but a COMPUTED input (a union, a
+    mapInPandas synthesis) would run twice; materialize such inputs first
+    (``.localCheckpoint(eager=False)`` — see _q_extract_routed).
     """
     from manga_translator_spark.plans.pipeline import extract
 

@@ -30,6 +30,7 @@ from typing import TYPE_CHECKING
 from manga_translator_spark.operators.assemble import assemble_arrays, assemble_exploded
 from manga_translator_spark.operators.classify import classify_blocks
 from manga_translator_spark.operators.clean import CLEANERS
+from manga_translator_spark.operators.common import spread
 from manga_translator_spark.operators.detect import detect_blocks
 from manga_translator_spark.operators.enrich import ENRICHERS
 from manga_translator_spark.operators.model_clean import REPAIRERS
@@ -268,6 +269,11 @@ def extract(
             from pyspark.sql import functions as F
 
             df = df.repartition(cfg.n_buckets, F.xxhash64("url"))
+        else:
+            # no explicit bucketing: widen a narrow (single-file) scan so
+            # the fused parse doesn't run the whole corpus on one task —
+            # wide scans and in-memory frames pass through untouched
+            df = spread(df)
         return ENRICHERS[cfg.enricher](extract_fused(df, metrics=metrics))
 
     df = pages
@@ -277,6 +283,8 @@ def extract(
         from pyspark.sql import functions as F
 
         df = df.repartition(cfg.n_buckets, F.xxhash64("url"))
+    else:
+        df = spread(df)  # same narrow-scan guard as the fused branch
 
     df = detect_blocks(df)
     if until == "detect":
