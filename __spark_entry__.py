@@ -1009,6 +1009,9 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
+_IVF_CENTS_CACHE: dict[str, str] = {}
+
+
 def _ivf_cents_values(sf_dir: str) -> str:
     """VALUES rows (cell, [centroid...]) for the IVF twin, computed by
     RUNNING the shared kmeans kernel over the oracle's own embeddings
@@ -1016,11 +1019,19 @@ def _ivf_cents_values(sf_dir: str) -> str:
     collects the same sample (lowest vec_ids, same float32->float64
     widening) through the same ivf_kmeans_refine, so the literals match
     the Spark index bit-for-bit — repr() round-trips each float64
-    exactly through DuckDB's strtod."""
-    rows = similarity.ivf_kmeans_centroid_rows(f"{sf_dir}/embeddings.parquet")
-    return ", ".join(
-        "(%d, [%s])" % (c, ", ".join(repr(v) for v in emb)) for c, emb in rows
-    )
+    exactly through DuckDB's strtod.
+
+    Cached per sf dir (testdata is immutable): every oracle_sql() call
+    pays the parquet read + Lloyd rounds otherwise, including callers
+    that only want an sf-independent twin (r5 review)."""
+    cached = _IVF_CENTS_CACHE.get(sf_dir)
+    if cached is None:
+        rows = similarity.ivf_kmeans_centroid_rows(f"{sf_dir}/embeddings.parquet")
+        cached = ", ".join(
+            "(%d, [%s])" % (c, ", ".join(repr(v) for v in emb)) for c, emb in rows
+        )
+        _IVF_CENTS_CACHE[sf_dir] = cached
+    return cached
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1597,8 +1608,21 @@ def oracle_sql() -> dict[str, str]:
     # the corpus assignment (rn = 1) and the query probe ranking
     # (rn <= nprobe over the query subset) are both re-filters of it —
     # exactly how the Spark side reuses ONE checkpointed ranked table.
-    sql["ann_ivf_topk"] = f"""
-      WITH cents AS (SELECT * FROM (VALUES {_ivf_cents_values(_oracle_sf_dir())})
+    # A missing oracle dir must not abort building the WHOLE dict — an
+    # sf-independent twin's caller never touches this entry (r5 review).
+    # The substitute SQL raises a clear error only if actually executed.
+    try:
+        _ivf_cents = _ivf_cents_values(_oracle_sf_dir())
+    except Exception as exc:  # noqa: BLE001 - missing/unreadable parquet
+        _esc = str(exc).replace("'", "''")
+        sql["ann_ivf_topk"] = (
+            "SELECT error('IVF twin centroids unavailable "
+            f"({_oracle_sf_dir()}/embeddings.parquet): {_esc}')"
+        )
+        _ivf_cents = None
+    if _ivf_cents is not None:
+        sql["ann_ivf_topk"] = f"""
+      WITH cents AS (SELECT * FROM (VALUES {_ivf_cents})
                      AS t(cell, embedding)),
       scored AS (
         SELECT e.vec_id, c.cell, round({cos_ec}, 4) AS cos_c

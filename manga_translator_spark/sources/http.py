@@ -116,18 +116,32 @@ def fetch_pages(
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+    if max_per_task is not None and not partition_by_host:
+        # silently ignoring the cap would void the documented aggregate
+        # politeness bound while the caller believes it holds (r5 review)
+        raise ValueError("max_per_task requires partition_by_host=True")
     if fetcher is None:
         schemes = tuple(allowed_schemes)
 
-        def fn(u: str, _schemes=schemes) -> bytes:
+        def gate(u: str, _schemes=schemes) -> None:
             s = _url_scheme(u)
             if s not in _schemes:
                 raise PermissionError(
                     f"scheme {s!r} not in allowed_schemes {_schemes!r}"
                 )
-            return default_fetcher(u)
 
+        # politeness is a NETWORK contract: opted-in file/local reads need
+        # no inter-request gap, and (with the gate above running FIRST)
+        # junk rows never reserve a limiter slot — previously every
+        # bare-path row slept against a shared netloc='' bucket before
+        # being rejected (r5 review)
+        def throttled(u: str) -> bool:
+            return u.startswith(("http://", "https://"))
+
+        fn = default_fetcher
     else:
+        gate = None
+        throttled = None
         fn = fetcher
     strict = on_error == "raise"
     interval = float(min_interval_sec)
@@ -141,7 +155,16 @@ def fetch_pages(
             payloads: list[bytes | None] = []
             errors: list[str | None] = []
             for u in pdf["url"]:
-                if interval > 0:
+                if gate is not None:
+                    try:
+                        gate(u)
+                    except Exception as exc:  # noqa: BLE001 - per-row capture
+                        if strict:
+                            raise
+                        payloads.append(None)
+                        errors.append(f"{type(exc).__name__}: {exc}")
+                        continue
+                if interval > 0 and (throttled is None or throttled(u)):
                     host = urlsplit(u).netloc
                     wait = next_ok.get(host, 0.0) - time.monotonic()
                     if wait > 0:

@@ -51,9 +51,18 @@ def run_check(spark, sf_dir: str, only: set[str] | None = None) -> int:
     qs = entry_mod.queries()
     # twins that pin data-derived literals (IVF kmeans centroids) must be
     # built against the SAME parquet this gate compares on; the driver's
-    # own gate runs at sf0.01, which is the unexported default
+    # own gate runs at sf0.01, which is the unexported default.  Restore
+    # the prior value afterwards: a leaked override would silently retarget
+    # every LATER oracle_sql() call in this process (r5 review).
+    prev_oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF")
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
-    oracles = entry_mod.oracle_sql()
+    try:
+        oracles = entry_mod.oracle_sql()
+    finally:
+        if prev_oracle_sf is None:
+            os.environ.pop("SPARK_GRAFT_ORACLE_SF", None)
+        else:
+            os.environ["SPARK_GRAFT_ORACLE_SF"] = prev_oracle_sf
     failures = 0
     if only:
         unknown = sorted(only - set(qs))

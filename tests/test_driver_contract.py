@@ -29,7 +29,25 @@ def test_entry_smoke(spark):
 def test_all_queries_match_duckdb_oracle(spark):
     from scripts.check_contract import run_check
 
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF")
     assert run_check(spark, SF_DIR) == 0
+    # the gate's sf-dir override must not leak into later oracle_sql()
+    # callers in this process (r5 review)
+    assert os.environ.get("SPARK_GRAFT_ORACLE_SF") == prev
+
+
+def test_oracle_sql_builds_without_oracle_dir(monkeypatch):
+    """A missing oracle dir degrades ONLY the data-derived IVF twin (to a
+    SQL that errors clearly if executed) — every sf-independent twin
+    still builds, so callers that never touch the IVF entry work on a
+    checkout without testdata (r5 review)."""
+    import __spark_entry__ as mod
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF", "/nonexistent/sfX")
+    sql = mod.oracle_sql()
+    assert "error(" in sql["ann_ivf_topk"]
+    assert "centroids unavailable" in sql["ann_ivf_topk"]
+    assert "SELECT" in sql["doc_repetition"]  # sf-independent twins intact
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")

@@ -3,6 +3,7 @@ contract validation (VERDICT r4 ask #2).  Pure duckdb/pyarrow, no Spark."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -14,6 +15,12 @@ sys.path.insert(0, "/root/repo/scripts")
 from gen_sf import generate  # noqa: E402
 
 SRC = "/root/testdata/sf0.001"
+
+# checkouts without the driver testdata must skip, not error (the same
+# guard every other /root/testdata-dependent test module carries)
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SRC), reason=f"driver testdata missing: {SRC}"
+)
 
 
 @pytest.fixture(scope="module")
