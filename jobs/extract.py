@@ -27,6 +27,8 @@ import time
 # package via --py-files instead; scripts/submit.sh)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from manga_translator_spark.plans.pipeline import PipelineConfig
 from manga_translator_spark.session import get_spark
 from manga_translator_spark.sources.lineage import run_extraction
@@ -90,8 +92,6 @@ def main(argv: list[str] | None = None) -> int:
             else corpus_df(spark, args.n_pages)
         )
         if args.prev:
-            from pyspark.sql import functions as F
-
             prev_df = spark.read.parquet(args.prev)
             prev = (
                 prev_df.select("url", F.md5("html").alias("digest"))
@@ -110,8 +110,6 @@ def main(argv: list[str] | None = None) -> int:
             from manga_translator_spark.plans.pipeline import extract
 
             t0 = time.monotonic()
-            from pyspark.sql import functions as F
-
             df = extract(pages, cfg, until=args.until)
             if "blocks" in df.columns:
                 df = df.withColumn("n_blocks", F.size("blocks"))
@@ -132,8 +130,25 @@ def main(argv: list[str] | None = None) -> int:
             transform=_pdf_router() if args.route_pdf else None,
         )
         wall = time.monotonic() - t0
-        n = spark.read.parquet(args.out).count()
-        print(json.dumps({"run_id": run_id, "rows": n, "wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1)}))
+        # throughput over THIS run's lineage rows, not the whole sink — a
+        # resumed run that processed 1 of 32 buckets would otherwise
+        # report ~32x its true docs_per_sec (r5 review); rows_total keeps
+        # the full-table count for sink-level sanity checks
+        run_rows = (
+            spark.read.parquet(args.lineage)
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+            .agg(F.sum("rows_out"))
+            .first()[0]
+            or 0
+        )
+        n_total = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "run_id": run_id,
+            "rows": int(run_rows),
+            "rows_total": n_total,
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(run_rows / wall, 1),
+        }))
         return 0
     finally:
         spark.stop()

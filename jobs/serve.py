@@ -109,13 +109,19 @@ def validate_config(d: dict) -> PipelineConfig:
 def _enrich_text(cfg: PipelineConfig, text: str) -> str:
     """The enricher slot's per-request kernel (operators/enrich.py
     semantics on one document): pipe/batched identity, debug constant,
-    dict token-lexicon mapping."""
+    dict token-lexicon mapping.  Honors the advertised PLUGIN_ARGS knobs
+    riding cfg.extra exactly like plans.pipeline.resolve_enricher — the
+    served answer must stay byte-identical to the batch row (r5
+    review)."""
     if cfg.enricher == "debug":
-        return "meow" if text else text
+        constant = str(cfg.extra.get("constant", "meow"))
+        return constant if text else text
     if cfg.enricher == "dict":
         from manga_translator_spark.operators.enrich import TRANSLATE_LEXICON
 
-        lex = dict(TRANSLATE_LEXICON)
+        raw = cfg.extra.get("lexicon", TRANSLATE_LEXICON)
+        # keys as-written, lookup lowercased — dict_translate_spark parity
+        lex = {str(a): str(b) for a, b in raw}
         return " ".join(lex.get(w.lower(), w) for w in text.split(" "))
     return text
 
@@ -136,7 +142,7 @@ def handle_extract(payload: bytes, cfg: PipelineConfig, url: str) -> dict:
         }
     from manga_translator_spark.oracle import extract_page
 
-    res = extract_page(url, payload)
+    res = extract_page(url, payload, recognize=cfg.recognize)
     return {
         "url": res.url,
         "extracted_text": _enrich_text(cfg, res.extracted_text),

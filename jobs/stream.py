@@ -65,27 +65,52 @@ def main(argv: list[str] | None = None) -> int:
     stream = read_pages_stream(spark, args.input, args.max_files_per_trigger)
     if args.dedup:
         stream = dedup_pages_stream(stream, args.watermark)
-    extractor = routed_extract_stream if args.route_pdf else extract_stream
-    out = extractor(stream, PipelineConfig())
-    if args.quality:
-        out = out.filter(gopher_keep_condition("extracted_text"))
 
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", args.out)
-        .option("checkpointLocation", args.checkpoint)
-        .outputMode("append")
-    )
+    if args.route_pdf and args.dedup:
+        # route inside foreachBatch: extract_any's two branch filters
+        # re-execute their input, which in a streaming plan instantiates
+        # the watermarked dedup state store TWICE — double state-store
+        # memory, double checkpoint, a second source pass per micro-batch
+        # (r5 review).  foreachBatch hands the already-deduped batch; pin
+        # it once and route it as a batch plan.  The epoch-keyed dynamic
+        # overwrite keeps the sink exactly-once under replay.
+        from manga_translator_spark.operators.pdf_extract import extract_any
+        from manga_translator_spark.streaming.extract_stream import write_epoch
+
+        def handle(batch_df, epoch_id):
+            routed = extract_any(batch_df.localCheckpoint(eager=False), PipelineConfig())
+            if args.quality:
+                routed = routed.filter(gopher_keep_condition("extracted_text"))
+            write_epoch(routed, epoch_id, args.out)
+
+        writer = stream.writeStream.foreachBatch(handle).option(
+            "checkpointLocation", args.checkpoint
+        )
+    else:
+        extractor = routed_extract_stream if args.route_pdf else extract_stream
+        out = extractor(stream, PipelineConfig())
+        if args.quality:
+            out = out.filter(gopher_keep_condition("extracted_text"))
+        writer = (
+            out.writeStream.format("parquet")
+            .option("path", args.out)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+        )
     if not args.follow:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
+    # clock spans start()..drain only: starting it after start() skipped
+    # the checkpoint/source-listing setup, and reading it inside print()
+    # billed the post-drain sink count to the drain (r5 review)
     t0 = time.time()
+    q = writer.start()
     if args.follow and args.timeout_sec:
         q.awaitTermination(args.timeout_sec)
         q.stop()
         q.awaitTermination()
     else:
         q.awaitTermination()
+    wall = time.time() - t0
     try:
         n_rows = spark.read.parquet(args.out).count()
     except Exception:
@@ -96,7 +121,7 @@ def main(argv: list[str] | None = None) -> int:
     print(json.dumps({
         "sink": args.out,
         "rows_in_sink": n_rows,
-        "wall_sec": round(time.time() - t0, 3),
+        "wall_sec": round(wall, 3),
         "dedup": bool(args.dedup),
         "quality": bool(args.quality),
         "route_pdf": bool(args.route_pdf),

@@ -116,9 +116,18 @@ def extract_any(pages: "DataFrame", config=None, *, metrics=None) -> "DataFrame"
     mapInPandas synthesis) would run twice; materialize such inputs first
     (``.localCheckpoint(eager=False)`` — see _q_extract_routed).
     """
-    from manga_translator_spark.plans.pipeline import extract
+    from manga_translator_spark.plans.pipeline import (
+        PipelineConfig,
+        extract,
+        resolve_enricher,
+    )
 
+    cfg = config or PipelineConfig()
     sniff = is_pdf_payload()
-    html_rows = extract(pages.filter(~sniff), config, metrics=metrics)
-    pdf_rows = extract_pdfs(pages.filter(sniff))
+    html_rows = extract(pages.filter(~sniff), cfg, metrics=metrics)
+    # the enricher slot applies to BOTH branches — extract() runs it on
+    # html rows, so pdf rows must get the same pass or a configured
+    # translator silently skips every pdf (r5 review; jobs/serve.py
+    # enriches its pdf branch and the served answer must match batch)
+    pdf_rows = resolve_enricher(cfg)(extract_pdfs(pages.filter(sniff)))
     return html_rows.select(*EXTRACTED_SCHEMA.fieldNames()).unionByName(pdf_rows)

@@ -62,15 +62,22 @@ def assemble(blocks: list[Block]) -> tuple[str, list[tuple[int, int, int]]]:
     return SEPARATOR.join(parts), spans
 
 
-def extract_page(url: str, html: bytes) -> Extracted:
-    """Full per-page pipeline, one record at a time."""
+def extract_page(url: str, html: bytes, *, recognize: bool = True) -> Extracted:
+    """Full per-page pipeline, one record at a time.
+
+    ``recognize=False`` skips the glyph model entirely (the /clean route
+    contract — previously the serve path ran the model on every embedded
+    image and threw the result away; r5 review)."""
     blocks = extract_blocks(html)
     text, spans = assemble(blocks)
-    img_blocks = [b for b in blocks if b.cls == CLS_EMBEDDED_IMG]
-    texts = recognize_batch([b.img_payload for b in img_blocks])
-    recognized = [
-        (b.block_idx, t) for b, t in zip(img_blocks, texts) if not is_blank(t)
-    ]
+    if recognize:
+        img_blocks = [b for b in blocks if b.cls == CLS_EMBEDDED_IMG]
+        texts = recognize_batch([b.img_payload for b in img_blocks])
+        recognized = [
+            (b.block_idx, t) for b, t in zip(img_blocks, texts) if not is_blank(t)
+        ]
+    else:
+        recognized = []
     return Extracted(
         url=url,
         extracted_text=text,

@@ -231,6 +231,37 @@ def describe() -> dict:
     }
 
 
+def resolve_enricher(cfg: PipelineConfig):
+    """The enricher plugin honoring its advertised PLUGIN_ARGS knobs
+    riding ``cfg.extra`` (debug.constant, batched.batch_rows,
+    dict.lexicon — the gray_lo pattern): describe()/GET /info advertise
+    these, so validating the config and then serving defaults anyway is
+    the silent-dishonor class the r4 review banned (r5 review)."""
+    from manga_translator_spark.operators.enrich import (
+        make_enrich_batched,
+        make_enrich_debug,
+        make_enrich_dict,
+    )
+
+    knobs = {
+        k: cfg.extra[k]
+        for k in PLUGIN_ARGS["enricher"].get(cfg.enricher, ())
+        if k in cfg.extra
+    }
+    if not knobs:
+        return ENRICHERS[cfg.enricher]
+    if cfg.enricher == "debug":
+        return make_enrich_debug(str(knobs["constant"]))
+    if cfg.enricher == "batched":
+        return make_enrich_batched(batch_rows=int(knobs["batch_rows"]))
+    if cfg.enricher == "dict":
+        # JSON configs arrive as list-of-pairs; normalize to the tuple
+        # shape the factory documents
+        lex = tuple((str(a), str(b)) for a, b in knobs["lexicon"])
+        return make_enrich_dict(lex)
+    return ENRICHERS[cfg.enricher]  # pragma: no cover - pipe has no knobs
+
+
 def extract(
     pages: "DataFrame",
     config: PipelineConfig | None = None,
@@ -252,6 +283,10 @@ def extract(
         raise KeyError(f"unknown enricher {cfg.enricher!r}; have {sorted(ENRICHERS)}")
     if cfg.repair not in REPAIRERS:
         raise KeyError(f"unknown repairer {cfg.repair!r}; have {sorted(REPAIRERS)}")
+    if until is not None and until not in STAGE_ORDER:
+        # a typo'd stage would silently run the FULL pipeline and hand the
+        # caller a final table labeled as an intermediate (r5 review)
+        raise KeyError(f"unknown stage {until!r}; have {list(STAGE_ORDER)}")
 
     needs_staged = (
         until is not None
@@ -274,7 +309,7 @@ def extract(
             # the fused parse doesn't run the whole corpus on one task —
             # wide scans and in-memory frames pass through untouched
             df = spread(df)
-        return ENRICHERS[cfg.enricher](extract_fused(df, metrics=metrics))
+        return resolve_enricher(cfg)(extract_fused(df, metrics=metrics))
 
     df = pages
     if cfg.n_buckets:
@@ -317,4 +352,4 @@ def extract(
         )
     if until == "recognize":
         return out
-    return ENRICHERS[cfg.enricher](out)
+    return resolve_enricher(cfg)(out)

@@ -125,7 +125,11 @@ def run_extraction(
                 raise RuntimeError(f"injected failure for buckets {sorted(set(group) & fail_buckets)}")
             result = (transform or extract)(part, config, metrics=stage_acc)
             if "bucket" not in result.columns:  # staged configs: re-key
-                result = result.join(part.select("url", "bucket"), "url", "left")
+                # bucket is a pure function of url (with_bucket), so
+                # recompute it instead of joining back on url — a url
+                # fetched k times would k^2-multiply through the join
+                # (r5 review), and this drops a shuffle besides
+                result = with_bucket(result, n_buckets)
             # dynamic partition overwrite: a retried group replaces exactly
             # its own bucket partitions — idempotent under crash/retry
             (

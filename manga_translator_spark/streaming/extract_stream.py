@@ -201,12 +201,24 @@ def dedup_pages_stream(
     older than the horizon are evicted instead of accumulating forever
     (the property that keeps this runnable on an unbounded stream).
     Append-mode legal; emits the page columns unchanged.
+
+    NULL html (a failed fetch, legal per PAGES_SCHEMA) gets a per-url
+    sentinel key instead of md5(NULL): dropDuplicatesWithinWatermark
+    treats NULL keys as equal, so a batch of DISTINCT failed-fetch rows
+    would silently collapse to one (r5 review).  Re-fetch failures of
+    the SAME url within the horizon still dedup to one row.
     """
     from pyspark.sql import functions as F
 
     return (
         pages_stream.withWatermark("warc_ts", watermark)
-        .withColumn("digest", F.md5(F.col("html")))
+        .withColumn(
+            "digest",
+            F.coalesce(
+                F.md5(F.col("html")),
+                F.concat(F.lit("null-html:"), F.col("url")),
+            ),
+        )
         .dropDuplicatesWithinWatermark(["digest"])
         .drop("digest")
     )
@@ -240,9 +252,13 @@ def routed_extract_stream(
         extract_pdfs,
         is_pdf_payload,
     )
+    from manga_translator_spark.plans.pipeline import resolve_enricher
     from manga_translator_spark.schema import EXTRACTED_SCHEMA
 
+    cfg = config or PipelineConfig()
     sniff = is_pdf_payload()
-    html_rows = extract_stream(pages_stream.filter(~sniff), config)
-    pdf_rows = extract_pdfs(pages_stream.filter(sniff))
+    html_rows = extract_stream(pages_stream.filter(~sniff), cfg)
+    # same enricher on both branches as batch extract_any (r5 review);
+    # every enricher is a narrow map, so the plan stays append-legal
+    pdf_rows = resolve_enricher(cfg)(extract_pdfs(pages_stream.filter(sniff)))
     return html_rows.select(*EXTRACTED_SCHEMA.fieldNames()).unionByName(pdf_rows)

@@ -11,8 +11,10 @@ Methodology (mirrors how the job runs at 100 TB):
   scan identical bytes — the scan->extract shape, not generate->extract);
 * warm-up pass over a slice with the same partitioning spins up the full
   Python-worker pool and JIT before the clock starts;
-* the timed job runs twice per level; the steady-state (second) run is
-  reported — cold-JIT noise is not a scaling property.
+* each child runs 4 timed passes and reports the MIN (the host shows CPU
+  steal, so min estimates capability — matching the bench.py estimator);
+* each (cores) config runs in 3 ABBA-interleaved rounds and the best
+  per-config observation is kept.
 
 Writes BENCH/scaling_latest.md (BENCH/BASELINE.md holds the curated
 multi-session summary).  Usage: python scripts/bench_scaling.py [n_pages]

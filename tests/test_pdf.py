@@ -256,3 +256,30 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_extract_any_enriches_pdf_branch(spark, corpus_rows):
+    """The configured enricher applies to BOTH router branches — a pdf row
+    must come out enriched exactly like an html row (r5 review; the serve
+    job enriches its pdf branch, and served == batch is the contract)."""
+    from manga_translator_spark.plans.pipeline import PipelineConfig
+
+    html_rows = [dict(r) for r in corpus_rows[:5]]
+    pdf_pages = [
+        {
+            "url": "pdf://enrich/0",
+            "warc_ts": None,
+            "html": make_pdf([(72, 600, 11, "pdf body text, long enough to pass.")]),
+            "text": "",
+            "lang": "en",
+        }
+    ]
+    df = spark.createDataFrame(pd.DataFrame(html_rows + pdf_pages), schema=PAGES_SCHEMA)
+    out = {r["url"]: r for r in extract_any(df, PipelineConfig(enricher="debug")).collect()}
+    assert out["pdf://enrich/0"]["extracted_text"] == "meow"
+    nonempty_html = [
+        out[r["url"]]["extracted_text"]
+        for r in html_rows
+        if out[r["url"]]["extracted_text"]
+    ]
+    assert nonempty_html and all(t == "meow" for t in nonempty_html)

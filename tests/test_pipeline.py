@@ -197,3 +197,34 @@ def test_bucketed_repartition_does_not_change_results(pages_df, golden):
     out = extract(pages_df, PipelineConfig(n_buckets=16)).collect()
     for r in out:
         assert r["extracted_text"] == golden[r["url"]].extracted_text
+
+
+def test_unknown_until_stage_raises(pages_df):
+    """A typo'd until= must fail fast, not silently run the FULL pipeline
+    and hand back a final table labeled as an intermediate (r5 review)."""
+    with pytest.raises(KeyError, match="unknown stage"):
+        extract(pages_df, until="recognise")
+
+
+def test_enricher_knobs_ride_extra(pages_df):
+    """Advertised PLUGIN_ARGS knobs (debug.constant here) are honored via
+    cfg.extra — validated-but-ignored knobs are banned (r5 review)."""
+    out = extract(
+        pages_df.limit(10),
+        PipelineConfig(enricher="debug", extra={"constant": "woof"}),
+    ).collect()
+    nonempty = [r["extracted_text"] for r in out if r["extracted_text"]]
+    assert nonempty and all(t == "woof" for t in nonempty)
+
+
+def test_oracle_extract_page_skips_recognition_when_off(corpus_rows):
+    """extract_page(recognize=False) must not run the glyph model; the
+    text path is unchanged (the /clean route contract, r5 review)."""
+    from manga_translator_spark.oracle import extract_page
+
+    for row in corpus_rows[:20]:
+        on = extract_page(row["url"], row["html"])
+        off = extract_page(row["url"], row["html"], recognize=False)
+        assert off.recognized == []
+        assert off.extracted_text == on.extracted_text
+        assert off.spans == on.spans

@@ -360,3 +360,93 @@ def test_routed_stream_matches_batch_router(spark, corpus_rows, tmp_path):
         for r in extract_any(df).collect()
     }
     assert got == exp and len(got) == 38
+
+
+def test_stream_job_cli_dedup_route_pdf(corpus_rows, tmp_path):
+    """--dedup --route-pdf together take the foreachBatch path (routing a
+    batch-pinned frame so the watermarked dedup state store is built ONCE,
+    not once per router branch — r5 review): re-fetch dupes of both html
+    and pdf pages collapse, and the routed sink matches batch extract_any
+    over the unique set."""
+    import datetime as dt
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import extract_any
+
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [dict(r) for r in corpus_rows[:30]]
+    for r in rows:
+        r["warc_ts"] = t0
+    pdfs = [
+        {
+            "url": f"pdf://j/{i}",
+            "warc_ts": t0,
+            "html": make_pdf([(72, 600, 11, f"job pdf body {i} long enough."), (72, 700, 14, f"J{i}")]),
+            "text": "",
+            "lang": "en",
+        }
+        for i in range(6)
+    ]
+    dupes = []
+    for r in rows[:8] + pdfs[:2]:
+        d = dict(r)
+        d["url"] = r["url"] + "?re"
+        dupes.append(d)
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(rows + pdfs + dupes))
+    os.makedirs(tmp_path / "pages", exist_ok=True)
+    con.execute(
+        f"COPY (SELECT * FROM p) TO '{tmp_path / 'pages' / 'part0.parquet'}' (FORMAT PARQUET)"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "stream.py"),
+         "--input", str(tmp_path / "pages"), "--out", str(tmp_path / "ext"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--dedup", "--route-pdf",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, out.stdout[-500:] + out.stderr[-1500:]
+    res = json.loads(lines[-1])
+    assert res["rows_in_sink"] == 36 and res["route_pdf"] is True
+
+
+def test_stream_job_routed_sink_matches_batch(spark, corpus_rows, tmp_path):
+    """The foreachBatch-routed sink's rows are value-identical to batch
+    extract_any over the same unique pages (url -> extracted_text)."""
+    import datetime as dt
+
+    from manga_translator_spark.functions.pdf import make_pdf
+    from manga_translator_spark.operators.pdf_extract import extract_any
+    from manga_translator_spark.streaming.extract_stream import write_epoch
+
+    t0 = dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc)
+    rows = [dict(r) for r in corpus_rows[:20]]
+    for r in rows:
+        r["warc_ts"] = t0
+    pdfs = [
+        {
+            "url": f"pdf://m/{i}",
+            "warc_ts": t0,
+            "html": make_pdf([(72, 600, 11, f"match pdf body {i} ok here."), (72, 700, 14, f"M{i}")]),
+            "text": "",
+            "lang": "en",
+        }
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows + pdfs), schema=PAGES_SCHEMA)
+    routed = extract_any(df.localCheckpoint(eager=False))
+    write_epoch(routed, 0, str(tmp_path / "sink"))
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    exp = {r["url"]: r["extracted_text"] for r in extract_any(df).collect()}
+    assert got == exp and len(got) == 24
