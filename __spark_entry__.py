@@ -27,7 +27,7 @@ from manga_translator_spark.functions.texthash import (
     shingles_duck,
     tokens_duck,
 )
-from manga_translator_spark.operators import dedup, similarity, text_analysis
+from manga_translator_spark.operators import curation, dedup, similarity, text_analysis
 from manga_translator_spark.operators.text_analysis import LANGS, STOPWORDS
 from manga_translator_spark.plans.pipeline import PipelineConfig, extract
 
@@ -748,6 +748,36 @@ def _q_training_corpus(spark, sf):
     return training_corpus(_t(spark, sf, "documents"))
 
 
+# Curation-query constants, shared by the Spark side and the DuckDB twins.
+# The benchmark split is doc_id % 41 == 0 (a deterministic ~2.4% "eval
+# set"); w=4 because the synthetic corpus' near-dups share 3/4-grams but
+# never 5-grams — the operator default stays the published 13.
+DECONTAM_BENCH_MOD = 41
+DECONTAM_QW = 4
+PACK_Q_CAPACITY = 512
+PACK_Q_SHARDS = 8
+SAMPLE_RATES = {"en": 250, "zh": 500, "es": 500, "de": 500, "fr": 500}
+
+
+def _q_decontam(spark, sf):
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.expr(f"doc_id % {DECONTAM_BENCH_MOD} = 0"))
+    train = docs.filter(F.expr(f"doc_id % {DECONTAM_BENCH_MOD} != 0"))
+    return curation.decontaminate(train, bench, w=DECONTAM_QW)
+
+
+def _q_pack_greedy(spark, sf):
+    return curation.pack_sequences(
+        _t(spark, sf, "documents"),
+        capacity=PACK_Q_CAPACITY,
+        n_shards=PACK_Q_SHARDS,
+    )
+
+
+def _q_sample_stratified(spark, sf):
+    return curation.sample_stratified(_t(spark, sf, "documents"), SAMPLE_RATES)
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -874,6 +904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "scrub_pii": _q_scrub_pii,
         "training_corpus": _q_training_corpus,
+        "decontam_overlap": _q_decontam,
+        "pack_greedy": _q_pack_greedy,
+        "sample_stratified": _q_sample_stratified,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -1497,6 +1530,68 @@ def oracle_sql() -> dict[str, str]:
       SELECT k.doc_id, md5(k.text) AS digest, len({tokens_duck('k.text')}) AS n_tokens
       FROM keptc k JOIN clusters c ON k.doc_id = c.doc_id
       WHERE c.cluster_id = k.doc_id
+    """
+
+    # --- curation twins (operators/curation.py) ---------------------------
+    # decontamination: distinct w-gram 60-bit hashes on both sides of the
+    # deterministic doc_id % MOD benchmark split, inner join, per-doc count.
+    _ng = (
+        f"list_filter(list_distinct({shingles_duck('tokens', DECONTAM_QW)}), "
+        "s -> s != '')"
+    )
+    sql["decontam_overlap"] = f"""
+      WITH ng AS (
+        SELECT doc_id, {_ng} AS ngrams
+        FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)
+      ),
+      bench AS (SELECT DISTINCT {h60_duck('s')} AS h
+                FROM (SELECT unnest(ngrams) AS s FROM ng
+                      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)),
+      train AS (SELECT doc_id, len(ngrams) AS n_ngrams, {h60_duck('s')} AS h
+                FROM (SELECT doc_id, ngrams, unnest(ngrams) AS s FROM ng
+                      WHERE doc_id % {DECONTAM_BENCH_MOD} != 0))
+      SELECT doc_id, count(*) AS n_hits, max(n_ngrams) AS n_ngrams
+      FROM train JOIN bench USING (h) GROUP BY doc_id
+    """
+
+    # greedy packing: the sequential fold walks a recursive CTE per shard
+    # (wrap_sql_duck discipline — never list_reduce, see CLAUDE.md), state
+    # (pid, fill) AFTER adding doc i; doc_ids are non-negative so DuckDB %
+    # equals Spark pmod.
+    sql["pack_greedy"] = f"""
+      WITH RECURSIVE psrc AS (
+        SELECT shard, list(struct_pack(doc_id := doc_id, n := n)
+                           ORDER BY doc_id) AS ds, count(*) AS m
+        FROM (SELECT doc_id, (doc_id % {PACK_Q_SHARDS})::INT AS shard,
+                     len({_TOKS})::BIGINT AS n
+              FROM documents)
+        GROUP BY shard
+      ),
+      steps AS (
+        SELECT shard, ds, m, 1 AS i, 0::BIGINT AS pid, ds[1].n AS fill
+        FROM psrc WHERE m > 0
+        UNION ALL
+        SELECT shard, ds, m, i + 1,
+          CASE WHEN fill > 0 AND fill + ds[i + 1].n > {PACK_Q_CAPACITY}
+               THEN pid + 1 ELSE pid END,
+          CASE WHEN fill > 0 AND fill + ds[i + 1].n > {PACK_Q_CAPACITY}
+               THEN ds[i + 1].n ELSE fill + ds[i + 1].n END
+        FROM steps WHERE i < m
+      )
+      SELECT shard, ds[i].doc_id AS doc_id, pid AS pack_id, ds[i].n AS n_tokens
+      FROM steps
+    """
+
+    # stratified sampling: the rate CASE is the SAME string both engines
+    # embed (curation.sample_rate_case_sql).
+    _rate_case = curation.sample_rate_case_sql(SAMPLE_RATES, 0, "lang")
+    _skey = f"concat('{curation.SAMPLE_SALT}', doc_id::VARCHAR)"
+    sql["sample_stratified"] = f"""
+      SELECT doc_id, lang AS stratum, bucket
+      FROM (SELECT doc_id, lang,
+                   {h60_duck(_skey)} % {curation.SAMPLE_MOD} AS bucket
+            FROM documents)
+      WHERE bucket < ({_rate_case})
     """
 
     # connected components over the LSH pair graph as a recursive closure;

@@ -1,0 +1,201 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/quality: benchmark decontamination, sequence packing, and
+stratified sampling.
+
+* **decontaminate** — remove/flag training documents that share any word
+  n-gram with a benchmark (eval) set: the GPT-3 appendix-C / PaLM overlap
+  rule.  100 TB shape: both sides reduce to 60-bit n-gram hashes before
+  the join (8 bytes on the shuffle, not the n-gram text); the benchmark
+  side is distinct-collapsed and is tiny in practice (eval suites are
+  MBs against a TB corpus), so AQE broadcasts it; the per-doc hit count
+  comes from one partial-aggregated groupBy on doc_id.
+* **pack_sequences** — greedy token-budget bin packing: documents, in
+  deterministic (shard, doc_id) order, accumulate into packs of at most
+  ``capacity`` tokens; a doc that would overflow starts the next pack
+  (training-sequence packing for a fixed context window).  Packing is a
+  sequential fold, so it runs per *shard*: one JVM ``aggregate`` fold per
+  shard (no Python workers), shards are independent and sized by
+  ``n_shards`` — the scale knob.  The fold appends to an accumulator
+  array, so per-shard cost is O(m^2) array copies; size shards to
+  m ~ 10^3-10^4 docs (at 100 TB raise n_shards, not capacity).
+* **sample_stratified** — deterministic per-stratum rate sampling: keep a
+  document iff md5-hash(salt || doc_id) mod 1000 falls under the
+  stratum's per-mille rate (the corpus-rebalancing move: downsample the
+  dominant language, keep the tail).  Pure map-side filter, zero shuffle,
+  reproducible by anyone with the salt — no RNG state.
+
+All hashes use the shared md5 60-bit scheme (functions/texthash.py) so
+the driver's DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Mapping
+
+from pyspark.sql import functions as F
+
+from manga_translator_spark.functions.texthash import (
+    h60_spark,
+    shingles_spark,
+    tokens_spark,
+)
+from manga_translator_spark.operators.common import spread
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+DECONTAM_W = 13     # the published 13-gram standard (GPT-3 appendix C)
+PACK_CAPACITY = 512
+PACK_SHARDS = 64
+SAMPLE_MOD = 1000   # rates are per-mille
+SAMPLE_SALT = "sample:"
+
+
+def _ngram_hash_rows(docs: "DataFrame", text_col: str, w: int) -> "DataFrame":
+    """(doc_id, n_ngrams, h): one row per DISTINCT word w-gram per doc,
+    h = 60-bit md5 hash of the space-joined gram.  Docs shorter than w
+    tokens contribute their whole token sequence as one gram (the
+    shingles fallback), so a short benchmark doc still decontaminates
+    verbatim copies; zero-token docs contribute nothing (the fallback
+    gram is '' and is filtered)."""
+    toks = tokens_spark(text_col)
+    sh = f"array_remove(array_distinct({shingles_spark(toks, w)}), '')"
+    return (
+        spread(docs)
+        .select("doc_id", F.expr(sh).alias("ngrams"))
+        .select(
+            "doc_id",
+            F.expr("cast(size(ngrams) as bigint)").alias("n_ngrams"),
+            F.explode("ngrams").alias("s"),
+        )
+        .select("doc_id", "n_ngrams", F.expr(h60_spark("s")).alias("h"))
+    )
+
+
+def decontaminate(
+    train: "DataFrame",
+    bench: "DataFrame",
+    *,
+    w: int = DECONTAM_W,
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, n_hits, n_ngrams) for every *contaminated* training doc:
+    ``n_hits`` = how many of its ``n_ngrams`` distinct word w-grams occur
+    anywhere in the benchmark set.  Anti-join the result against the
+    corpus to drop contaminated docs; the fraction n_hits/n_ngrams
+    supports threshold policies (PaLM drops at >= 70% overlap).
+
+    Both inputs need (doc_id, text_col).  The join runs on the 60-bit
+    gram hash — a collision can at worst over-flag one doc, the safe
+    direction for decontamination.
+    """
+    t = _ngram_hash_rows(train, text_col, w)
+    b = _ngram_hash_rows(bench, text_col, w).select("h").distinct()
+    return (
+        t.join(b, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.max("n_ngrams").alias("n_ngrams"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: "DataFrame",
+    *,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    text_col: str = "text",
+) -> "DataFrame":
+    """(shard, doc_id, pack_id, n_tokens): greedy sequence packing.
+
+    Within each shard (``pmod(doc_id, n_shards)``), docs in doc_id order
+    fill packs of at most ``capacity`` tokens; a doc that would overflow
+    a non-empty pack starts the next one.  A single doc longer than
+    ``capacity`` occupies a pack alone (never split).  pack_id is dense
+    per shard starting at 0 — (shard, pack_id) is the global pack key.
+
+    One shuffle (groupBy shard), then a single JVM ``aggregate`` fold per
+    shard emits the pack-id sequence; the id array is let-bound via the
+    single-element ``transform`` idiom so the fold evaluates once, not
+    once per output element (texthash.py discipline).
+    """
+    toks = tokens_spark(text_col)
+    base = spread(docs).select(
+        "doc_id",
+        F.expr(f"cast(pmod(doc_id, {n_shards}) as int)").alias("shard"),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+    )
+    sharded = base.groupBy("shard").agg(
+        F.expr("sort_array(collect_list(struct(doc_id, n_tokens)))").alias("ds")
+    )
+    fold = f"""aggregate(
+      ds,
+      named_struct('pid', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT),
+                   'ids', CAST(array() AS ARRAY<BIGINT>)),
+      (acc, d) -> CASE
+        WHEN acc.fill > 0 AND acc.fill + d.n_tokens > {capacity} THEN
+          named_struct('pid', acc.pid + 1, 'fill', d.n_tokens,
+                       'ids', array_append(acc.ids, acc.pid + 1))
+        ELSE
+          named_struct('pid', acc.pid, 'fill', acc.fill + d.n_tokens,
+                       'ids', array_append(acc.ids, acc.pid))
+      END,
+      acc -> acc.ids)"""
+    rows = f"""element_at(transform(array({fold}), pids ->
+      transform(sequence(1, size(ds)), i -> named_struct(
+        'doc_id', element_at(ds, i).doc_id,
+        'pack_id', element_at(pids, i),
+        'n_tokens', element_at(ds, i).n_tokens))), 1)"""
+    return sharded.select("shard", F.explode(F.expr(rows)).alias("p")).select(
+        "shard",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.pack_id").alias("pack_id"),
+        F.col("p.n_tokens").alias("n_tokens"),
+    )
+
+
+def sample_rate_case_sql(
+    rates: Mapping[str, int], default_ppt: int, stratum_col: str
+) -> str:
+    """CASE expression mapping stratum -> per-mille keep rate.  The
+    syntax is shared Spark/DuckDB, so both engines embed the SAME string
+    — they can only agree or fail together (texthash.py discipline)."""
+    for s, r in rates.items():
+        if "'" in s:
+            raise ValueError(f"stratum value {s!r} would break the SQL literal")
+        if not 0 <= int(r) <= SAMPLE_MOD:
+            raise ValueError(f"rate for {s!r} must be 0..{SAMPLE_MOD}, got {r}")
+    if not rates:  # a WHEN-less CASE is a parse error on both engines
+        return str(int(default_ppt))
+    arms = " ".join(
+        f"WHEN '{s}' THEN {int(r)}" for s, r in sorted(rates.items())
+    )
+    return f"CASE {stratum_col} {arms} ELSE {int(default_ppt)} END"
+
+
+def sample_stratified(
+    docs: "DataFrame",
+    rates: Mapping[str, int],
+    *,
+    default_ppt: int = 0,
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = SAMPLE_SALT,
+) -> "DataFrame":
+    """(doc_id, stratum, bucket) for every kept document: keep iff
+    ``md5-hash(salt || key) mod 1000 < rates[stratum]`` (``default_ppt``
+    for strata not in ``rates``).  Deterministic, map-side only, and
+    stable under corpus growth — a doc's keep/drop never changes when
+    other docs arrive, which is what makes the sample re-computable
+    incrementally at 100 TB."""
+    keyed = f"concat('{salt}', cast({key_col} as string))"
+    bucket = f"{h60_spark(keyed)} % {SAMPLE_MOD}"
+    rate = sample_rate_case_sql(rates, default_ppt, stratum_col)
+    return (
+        spread(docs)
+        .withColumn("bucket", F.expr(bucket))
+        .filter(F.expr(f"bucket < ({rate})"))
+        .select(key_col, F.col(stratum_col).alias("stratum"), "bucket")
+    )
