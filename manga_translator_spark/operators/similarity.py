@@ -284,6 +284,9 @@ IVF_N_CELLS = 16
 # (nprobe/n_cells) of the corpus — and measured recall at the shipped
 # kmeans+nprobe=4 operating point is in COVERAGE.md.
 IVF_NPROBE = 4
+# Shipped coarse quantizer (r5: "first" -> "kmeans" per VERDICT r4 #1);
+# describe() reads this so the introspection listing cannot drift.
+IVF_CENTROIDS = "kmeans"
 
 
 def _ivf_centroids(embeddings: "DataFrame", n_cells: int) -> "DataFrame":
@@ -439,7 +442,7 @@ def ann_ivf_topk(
     nprobe: int = IVF_NPROBE,
     queries: "DataFrame | None" = None,
     max_queries: int = MAX_QUERIES,
-    centroids: "str | DataFrame" = "kmeans",
+    centroids: "str | DataFrame" = IVF_CENTROIDS,
 ) -> "DataFrame":
     """IVF ANN: exact cosine restricted to the query's ``nprobe`` nearest
     coarse cells.

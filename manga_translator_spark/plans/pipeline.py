@@ -117,7 +117,7 @@ def _operator_arg_schemas() -> dict:
     driver-pinned default — retuning for a different corpus never requires
     a module edit.  Defaults are read live from the modules so this listing
     cannot drift from the code."""
-    from manga_translator_spark.operators import dedup, similarity
+    from manga_translator_spark.operators import curation, dedup, similarity
     from manga_translator_spark.operators import text_analysis as _ta
 
     def a(type_, default, doc):
@@ -179,7 +179,7 @@ def _operator_arg_schemas() -> dict:
             "k": a("int", 5, "neighbors per query"),
             "max_queries": a("int", similarity.MAX_QUERIES, "query-side bound (ordered limit)"),
             "centroids": a(
-                "str|DataFrame", "first",
+                "str|DataFrame", similarity.IVF_CENTROIDS,
                 "coarse quantizer: first | kmeans (sampled Lloyd) | prebuilt table",
             ),
         },
@@ -188,6 +188,20 @@ def _operator_arg_schemas() -> dict:
                 "int|None", None, "top-N vocab cap (None = full vocab, AQE-decided join)"
             ),
             "tail_cnt": a("int", 1, "assumed count for out-of-vocab tail tokens"),
+        },
+        "curation.decontaminate": {
+            "w": a("int", curation.DECONTAM_W, "overlap n-gram width (13 = published standard)"),
+        },
+        "curation.pack_sequences": {
+            "capacity": a("int", curation.PACK_CAPACITY, "tokens per pack (context window)"),
+            "n_shards": a(
+                "int", curation.PACK_SHARDS,
+                "independent packing shards — the scale knob (size to ~1e3-1e4 docs/shard)",
+            ),
+        },
+        "curation.sample_stratified": {
+            "default_ppt": a("int", 0, "per-mille keep rate for strata not in `rates`"),
+            "salt": a("str", curation.SAMPLE_SALT, "hash salt (sample identity)"),
         },
     }
 

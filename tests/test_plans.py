@@ -333,6 +333,18 @@ def test_scale_knobs_are_arguments_and_described(spark):
     assert ops["similarity.ann_ivf_topk"]["nprobe"]["default"] == similarity.IVF_NPROBE
     assert ops["dedup.lsh_candidate_pairs"]["max_bucket"]["default"] == dedup.MAX_BUCKET
     assert ops["similarity.cosine_topk"]["max_queries"]["default"] == similarity.MAX_QUERIES
+    # the shipped quantizer must be read live (r5: describe() said "first"
+    # while the signature default was already "kmeans" — drift class)
+    from manga_translator_spark.operators import curation
+    import inspect
+
+    assert ops["similarity.ann_ivf_topk"]["centroids"]["default"] == similarity.IVF_CENTROIDS
+    assert (
+        inspect.signature(similarity.ann_ivf_topk).parameters["centroids"].default
+        == similarity.IVF_CENTROIDS
+    )
+    assert ops["curation.pack_sequences"]["capacity"]["default"] == curation.PACK_CAPACITY
+    assert ops["curation.decontaminate"]["w"]["default"] == curation.DECONTAM_W
 
 
 def test_repetition_plan_prunes_and_computes_struct_once(spark, tmp_path):
