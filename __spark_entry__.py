@@ -778,6 +778,17 @@ def _q_sample_stratified(spark, sf):
     return curation.sample_stratified(_t(spark, sf, "documents"), SAMPLE_RATES)
 
 
+# small windows so the 10-99-token synthetic docs produce real overlap
+CHUNK_Q_SIZE = 32
+CHUNK_Q_STRIDE = 24
+
+
+def _q_doc_chunks(spark, sf):
+    return curation.chunk_tokens(
+        _t(spark, sf, "documents"), size=CHUNK_Q_SIZE, stride=CHUNK_Q_STRIDE
+    )
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -907,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam,
         "pack_greedy": _q_pack_greedy,
         "sample_stratified": _q_sample_stratified,
+        "doc_chunks": _q_doc_chunks,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -1580,6 +1592,24 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT shard, ds[i].doc_id AS doc_id, pid AS pack_id, ds[i].n AS n_tokens
       FROM steps
+    """
+
+    # token chunking: same start rule (keep a window iff it is the first
+    # or reaches past its predecessor's end); DuckDB slices are
+    # inclusive-end, Spark slice takes a length — both clamp at the end.
+    _cs, _cstr = CHUNK_Q_SIZE, CHUNK_Q_STRIDE
+    sql["doc_chunks"] = f"""
+      SELECT doc_id, (i - 1)::INT AS chunk_idx,
+             len(toks[starts[i] : starts[i] + {_cs - 1}])::BIGINT AS n_tokens,
+             array_to_string(toks[starts[i] : starts[i] + {_cs - 1}], ' ') AS chunk_text
+      FROM (
+        SELECT doc_id, toks, starts, unnest(generate_series(1, len(starts))) AS i
+        FROM (SELECT doc_id, toks,
+                     list_filter(generate_series(1, len(toks), {_cstr}),
+                                 s -> s = 1 OR s - {_cstr} + {_cs} <= len(toks)) AS starts
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+              WHERE len(toks) > 0)
+      )
     """
 
     # stratified sampling: the rate CASE is the SAME string both engines

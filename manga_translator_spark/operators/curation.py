@@ -156,6 +156,54 @@ def pack_sequences(
     )
 
 
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 192
+
+
+def chunk_tokens(
+    docs: "DataFrame",
+    *,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, chunk_idx, n_tokens, chunk_text): overlapping token
+    windows per document — the context-window chunking an embedding /
+    retrieval / training pipeline runs before vectorizing long text.
+
+    Window starts step by ``stride``; the final window is kept only if it
+    reaches past the previous window's end (no chunk that is a suffix of
+    its predecessor), so every token appears in >= 1 chunk and the tail
+    is never emitted twice.  Zero-token docs yield no rows.  Pure
+    map-side: tokenize once (let-bound — texthash.py discipline),
+    explode; no shuffle at any scale.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    toks = tokens_spark(text_col)
+    rows = f"""element_at(transform(array({toks}), tks ->
+      CASE WHEN size(tks) = 0 THEN
+        CAST(array() AS ARRAY<STRUCT<n: BIGINT, txt: STRING>>)
+      ELSE
+        transform(
+          filter(sequence(1, size(tks), {stride}),
+                 s -> s = 1 OR s - {stride} + {size} <= size(tks)),
+          s -> named_struct(
+            'n', CAST(size(slice(tks, s, {size})) AS BIGINT),
+            'txt', array_join(slice(tks, s, {size}), ' ')))
+      END), 1)"""
+    return (
+        spread(docs)
+        .select("doc_id", F.posexplode(F.expr(rows)).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.n").alias("n_tokens"),
+            F.col("c.txt").alias("chunk_text"),
+        )
+    )
+
+
 def sample_rate_case_sql(
     rates: Mapping[str, int], default_ppt: int, stratum_col: str
 ) -> str:

@@ -199,6 +199,10 @@ def _operator_arg_schemas() -> dict:
                 "independent packing shards — the scale knob (size to ~1e3-1e4 docs/shard)",
             ),
         },
+        "curation.chunk_tokens": {
+            "size": a("int", curation.CHUNK_SIZE, "tokens per chunk (context window)"),
+            "stride": a("int", curation.CHUNK_STRIDE, "window step (size - overlap)"),
+        },
         "curation.sample_stratified": {
             "default_ppt": a("int", 0, "per-mille keep rate for strata not in `rates`"),
             "salt": a("str", curation.SAMPLE_SALT, "hash salt (sample identity)"),

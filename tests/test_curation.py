@@ -206,3 +206,50 @@ def test_sample_rate_case_guards():
         curation.sample_rate_case_sql({"e'n": 10}, 0, "lang")
     with pytest.raises(ValueError, match="0..1000"):
         curation.sample_rate_case_sql({"en": 1500}, 0, "lang")
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+# ---------------------------------------------------------------------------
+
+
+def _ref_chunks(text: str, size: int, stride: int) -> list[tuple[int, str]]:
+    toks = _tokens(text)
+    out = []
+    s = 0
+    while s < len(toks):
+        if s > 0 and s - stride + size >= len(toks):
+            break  # predecessor window already reached the last token
+        out.append((len(toks[s : s + size]), " ".join(toks[s : s + size])))
+        s += stride
+    return out
+
+
+def test_chunk_tokens_matches_reference(spark, docs_pdf, docs_df):
+    size, stride = 6, 4
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in curation.chunk_tokens(docs_df, size=size, stride=stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    for _, row in docs_pdf.iterrows():
+        exp = _ref_chunks(row["text"], size, stride)
+        rows = sorted(got.get(int(row["doc_id"]), []))
+        assert [(n, t) for _, n, t in rows] == exp, row["doc_id"]
+        assert [i for i, _, _ in rows] == list(range(len(exp)))
+    # coverage property: every token position is inside >= 1 chunk
+    for _, row in docs_pdf.iterrows():
+        toks = _tokens(row["text"])
+        covered = set()
+        s = 0
+        for n, _ in _ref_chunks(row["text"], size, stride):
+            covered.update(range(s, s + n))
+            s += stride
+        assert covered == set(range(len(toks)))
+
+
+def test_chunk_tokens_arg_guards(docs_df):
+    with pytest.raises(ValueError, match="stride"):
+        curation.chunk_tokens(docs_df, size=4, stride=8)
+    with pytest.raises(ValueError, match="stride"):
+        curation.chunk_tokens(docs_df, size=4, stride=0)
