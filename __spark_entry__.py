@@ -1569,11 +1569,13 @@ def oracle_sql() -> dict[str, str]:
     # greedy packing: the sequential fold walks a recursive CTE per shard
     # (wrap_sql_duck discipline — never list_reduce, see CLAUDE.md), state
     # (pid, fill) AFTER adding doc i; doc_ids are non-negative so DuckDB %
-    # equals Spark pmod.
+    # equals Spark pmod.  ORDER BY doc_id, n mirrors sort_array's full
+    # struct ordering — doc_id alone leaves duplicate-id ties
+    # underdetermined (the running_supplier_qty sf1 bug class).
     sql["pack_greedy"] = f"""
       WITH RECURSIVE psrc AS (
         SELECT shard, list(struct_pack(doc_id := doc_id, n := n)
-                           ORDER BY doc_id) AS ds, count(*) AS m
+                           ORDER BY doc_id, n) AS ds, count(*) AS m
         FROM (SELECT doc_id, (doc_id % {PACK_Q_SHARDS})::INT AS shard,
                      len({_TOKS})::BIGINT AS n
               FROM documents)
