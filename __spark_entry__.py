@@ -1577,7 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard, list(struct_pack(doc_id := doc_id, n := n)
                            ORDER BY doc_id, n) AS ds, count(*) AS m
         FROM (SELECT doc_id, (doc_id % {PACK_Q_SHARDS})::INT AS shard,
-                     len({_TOKS})::BIGINT AS n
+                     coalesce(len({_TOKS}), 0)::BIGINT AS n
               FROM documents)
         GROUP BY shard
       ),

@@ -110,49 +110,45 @@ def pack_sequences(
 ) -> "DataFrame":
     """(shard, doc_id, pack_id, n_tokens): greedy sequence packing.
 
-    Within each shard (``pmod(doc_id, n_shards)``), docs in doc_id order
-    fill packs of at most ``capacity`` tokens; a doc that would overflow
-    a non-empty pack starts the next one.  A single doc longer than
-    ``capacity`` occupies a pack alone (never split).  pack_id is dense
-    per shard starting at 0 — (shard, pack_id) is the global pack key.
+    Within each shard (``pmod(doc_id, n_shards)``), docs in (doc_id,
+    n_tokens) order fill packs of at most ``capacity`` tokens; a doc that
+    would overflow a non-empty pack starts the next one.  A single doc
+    longer than ``capacity`` occupies a pack alone (never split).
+    pack_id is dense per shard starting at 0 — (shard, pack_id) is the
+    global pack key.
 
-    One shuffle (groupBy shard), then a single JVM ``aggregate`` fold per
-    shard emits the pack-id sequence; the id array is let-bound via the
-    single-element ``transform`` idiom so the fold evaluates once, not
-    once per output element (texthash.py discipline).
+    Physical shape: tokenize JVM-side (only 24-byte (doc_id, shard,
+    n_tokens) rows reach Python), one shuffle (groupBy shard), then a
+    LINEAR ``applyInPandas`` scan per shard.  Measured rationale (sf1,
+    50k docs, local[32], min-of-3): the all-JVM alternative — a
+    ``sort_array`` + ``aggregate`` fold appending to an accumulator
+    array — is O(m^2) in shard size and lost 6.60 s vs 2.57 s at 6,250
+    docs/shard; the pandas scan is linear, so it is also robust to shard
+    skew a fixed ``n_shards`` cannot prevent at 100 TB.
     """
+    import pandas as pd
+
     toks = tokens_spark(text_col)
     base = spread(docs).select(
         "doc_id",
         F.expr(f"cast(pmod(doc_id, {n_shards}) as int)").alias("shard"),
-        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        F.expr(f"coalesce(cast(size({toks}) as bigint), 0)").alias("n_tokens"),
     )
-    sharded = base.groupBy("shard").agg(
-        F.expr("sort_array(collect_list(struct(doc_id, n_tokens)))").alias("ds")
-    )
-    fold = f"""aggregate(
-      ds,
-      named_struct('pid', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT),
-                   'ids', CAST(array() AS ARRAY<BIGINT>)),
-      (acc, d) -> CASE
-        WHEN acc.fill > 0 AND acc.fill + d.n_tokens > {capacity} THEN
-          named_struct('pid', acc.pid + 1, 'fill', d.n_tokens,
-                       'ids', array_append(acc.ids, acc.pid + 1))
-        ELSE
-          named_struct('pid', acc.pid, 'fill', acc.fill + d.n_tokens,
-                       'ids', array_append(acc.ids, acc.pid))
-      END,
-      acc -> acc.ids)"""
-    rows = f"""element_at(transform(array({fold}), pids ->
-      transform(sequence(1, size(ds)), i -> named_struct(
-        'doc_id', element_at(ds, i).doc_id,
-        'pack_id', element_at(pids, i),
-        'n_tokens', element_at(ds, i).n_tokens))), 1)"""
-    return sharded.select("shard", F.explode(F.expr(rows)).alias("p")).select(
-        "shard",
-        F.col("p.doc_id").alias("doc_id"),
-        F.col("p.pack_id").alias("pack_id"),
-        F.col("p.n_tokens").alias("n_tokens"),
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # stable mergesort on the full (doc_id, n_tokens) key — matches
+        # the twin's ORDER BY doc_id, n exactly, ties included
+        pdf = pdf.sort_values(["doc_id", "n_tokens"], kind="mergesort")
+        pid, fill, ids = 0, 0, []
+        for n in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + n > capacity:
+                pid, fill = pid + 1, 0
+            ids.append(pid)
+            fill += n
+        return pdf.assign(pack_id=ids)[["shard", "doc_id", "pack_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        fn, "shard int, doc_id bigint, pack_id bigint, n_tokens bigint"
     )
 
 
