@@ -103,6 +103,19 @@ def validate_config(d: dict) -> PipelineConfig:
         raise BatchOnlyPlugin(f"cleaner {cfg.cleaner!r} is batch-only")
     if cfg.repair != "none":
         raise BatchOnlyPlugin(f"repair {cfg.repair!r} is batch-only")
+    # typo'd KNOBS inside extra are the same silent-dishonor class as
+    # typo'd fields: {"extra": {"constat": "woof"}} must 400, not serve
+    # the default with a 200 (r5 review)
+    from manga_translator_spark.plans.pipeline import validate_extra
+
+    validate_extra(cfg)
+    if cfg.enricher == "dict" and "lexicon" in cfg.extra:
+        # bad VALUES 400 too: a malformed or duplicate-key lexicon must
+        # reject at config time, not 500 mid-request (the batch side
+        # raises the same ValueError at compose time)
+        from manga_translator_spark.operators.enrich import normalize_lexicon
+
+        normalize_lexicon(cfg.extra["lexicon"])
     return cfg
 
 
@@ -117,11 +130,17 @@ def _enrich_text(cfg: PipelineConfig, text: str) -> str:
         constant = str(cfg.extra.get("constant", "meow"))
         return constant if text else text
     if cfg.enricher == "dict":
-        from manga_translator_spark.operators.enrich import TRANSLATE_LEXICON
+        from manga_translator_spark.operators.enrich import (
+            TRANSLATE_LEXICON,
+            normalize_lexicon,
+        )
 
+        # the SHARED normalizer: mapping-shaped lexicons go through
+        # .items() (bare dict iteration would unpack keys char-by-char)
+        # and duplicate source tokens raise — exactly like the batch
+        # side, so served == batch cannot diverge on the same config
         raw = cfg.extra.get("lexicon", TRANSLATE_LEXICON)
-        # keys as-written, lookup lowercased — dict_translate_spark parity
-        lex = {str(a): str(b) for a, b in raw}
+        lex = dict(normalize_lexicon(raw))
         return " ".join(lex.get(w.lower(), w) for w in text.split(" "))
     return text
 

@@ -53,6 +53,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --follow: stop after this many seconds (0 = forever)")
     args = p.parse_args(argv)
 
+    # the two writer modes produce INCOMPATIBLE sink layouts: foreachBatch
+    # (dedup+route_pdf) writes epoch=N-partitioned dynamic-overwrite
+    # parquet, the streaming file sink writes flat files tracked by a
+    # _spark_metadata manifest (which readers PREFER — mixing the two
+    # makes foreachBatch files invisible or the schema inconsistent).
+    # Refuse to reuse a sink created by the other mode (r5 review).
+    wants_epoch = bool(args.route_pdf and args.dedup)
+    if os.path.isdir(args.out):
+        entries = os.listdir(args.out)
+        has_epoch = any(e.startswith("epoch=") for e in entries)
+        has_manifest = "_spark_metadata" in entries
+        if (has_epoch and not wants_epoch) or (has_manifest and wants_epoch):
+            p.error(
+                f"sink {args.out} was written by the "
+                f"{'foreachBatch (epoch-partitioned)' if has_epoch else 'streaming file'} "
+                "sink; rerunning with these flags would mix incompatible "
+                "layouts — use a fresh --out"
+            )
+
     spark = get_spark(app="stream_extract", master=args.master)
     from manga_translator_spark.operators.text_analysis import gopher_keep_condition
     from manga_translator_spark.streaming.extract_stream import (

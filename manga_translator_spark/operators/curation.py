@@ -13,11 +13,11 @@ stratified sampling.
   deterministic (shard, doc_id) order, accumulate into packs of at most
   ``capacity`` tokens; a doc that would overflow starts the next pack
   (training-sequence packing for a fixed context window).  Packing is a
-  sequential fold, so it runs per *shard*: one JVM ``aggregate`` fold per
-  shard (no Python workers), shards are independent and sized by
-  ``n_shards`` — the scale knob.  The fold appends to an accumulator
-  array, so per-shard cost is O(m^2) array copies; size shards to
-  m ~ 10^3-10^4 docs (at 100 TB raise n_shards, not capacity).
+  sequential scan, so it runs per *shard*: tokenize JVM-side, shuffle
+  only 24-byte (doc_id, shard, n_tokens) rows, then a LINEAR
+  ``applyInPandas`` walk per shard — measured 2.6× faster at sf1 than
+  the all-JVM ``aggregate`` fold, whose O(m^2) accumulator copies went
+  superlinear (see the function docstring for the numbers).
 * **sample_stratified** — deterministic per-stratum rate sampling: keep a
   document iff md5-hash(salt || doc_id) mod 1000 falls under the
   stratum's per-mille rate (the corpus-rebalancing move: downsample the

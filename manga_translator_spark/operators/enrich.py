@@ -76,6 +76,10 @@ def make_enrich_batched(
     size (the r01 version collect_list'ed corpus/64 docs into single rows —
     an executor-OOM at 100x).  Physical shape == operators/recognize.py.
     """
+    if int(batch_rows) <= 0:
+        # range(0, n, batch_rows<=0) yields nothing — the job would write
+        # an EMPTY table with exit 0 (r5 review); fail at compose time
+        raise ValueError(f"batch_rows must be positive, got {batch_rows}")
     call = model_call or _batched_model_call
 
     def enrich(df: "DataFrame") -> "DataFrame":
@@ -164,11 +168,42 @@ def dict_translate_duck(col: str, lexicon=TRANSLATE_LEXICON) -> str:
     )
 
 
+def normalize_lexicon(raw) -> tuple[tuple[str, str], ...]:
+    """Canonicalize a user-supplied lexicon (mapping OR iterable of
+    (src, dst) pairs — YAML/JSON configs naturally produce either) to the
+    tuple-of-pairs shape the factories document.
+
+    A bare mapping must go through ``.items()``: iterating a dict yields
+    KEYS, so ``for a, b in raw`` would unpack the string 'to' into
+    ('t', 'o') — a silently garbage lexicon (r5 review).  Duplicate
+    source tokens are rejected here so batch Spark (ANSI ``map()``
+    throws DUPLICATE_MAP_KEY) and the serve job's Python dict (silent
+    last-wins) cannot diverge on the same config."""
+    from collections.abc import Mapping
+
+    pairs = raw.items() if isinstance(raw, Mapping) else raw
+    lex = []
+    for pair in pairs:
+        try:
+            a, b = pair
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"lexicon entries must be (src, dst) pairs, got {pair!r}"
+            ) from None
+        lex.append((str(a), str(b)))
+    seen = {a for a, _ in lex}
+    if len(seen) != len(lex):
+        dupes = sorted({a for i, (a, _) in enumerate(lex) if a in {x for x, _ in lex[:i]}})
+        raise ValueError(f"duplicate lexicon source token(s): {dupes}")
+    return tuple(lex)
+
+
 def make_enrich_dict(
     lexicon: tuple[tuple[str, str], ...] = TRANSLATE_LEXICON,
 ) -> Callable[["DataFrame"], "DataFrame"]:
     """Dictionary-translator enricher: pure codegen token mapping on the
     assembled extraction — zero shuffle, zero Python."""
+    lexicon = normalize_lexicon(lexicon)
 
     def enrich(df: "DataFrame") -> "DataFrame":
         return df.withColumn(

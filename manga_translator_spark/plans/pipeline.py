@@ -273,11 +273,35 @@ def resolve_enricher(cfg: PipelineConfig):
     if cfg.enricher == "batched":
         return make_enrich_batched(batch_rows=int(knobs["batch_rows"]))
     if cfg.enricher == "dict":
-        # JSON configs arrive as list-of-pairs; normalize to the tuple
-        # shape the factory documents
-        lex = tuple((str(a), str(b)) for a, b in knobs["lexicon"])
-        return make_enrich_dict(lex)
+        # configs arrive as a mapping or list-of-pairs; the shared
+        # normalizer canonicalizes and rejects duplicate source tokens
+        # (batch ANSI map() and serve's Python dict would diverge)
+        from manga_translator_spark.operators.enrich import normalize_lexicon
+
+        return make_enrich_dict(normalize_lexicon(knobs["lexicon"]))
     return ENRICHERS[cfg.enricher]  # pragma: no cover - pipe has no knobs
+
+
+def validate_extra(cfg: PipelineConfig) -> None:
+    """Reject ``cfg.extra`` keys no SELECTED plugin advertises.  The
+    fail-loud discipline (ADVICE r4 #3: unknown top-level fields 400)
+    otherwise stops one level short: a typo'd knob like
+    ``extra={'constat': 'woof'}`` would pass validation and silently
+    serve the default (r5 review)."""
+    known: set[str] = set()
+    for slot, name in (
+        ("cleaner", cfg.cleaner),
+        ("assembler", cfg.assembler),
+        ("enricher", cfg.enricher),
+        ("repairer", cfg.repair),
+    ):
+        known |= set(PLUGIN_ARGS.get(slot, {}).get(name, {}))
+    unknown = set(cfg.extra) - known
+    if unknown:
+        raise KeyError(
+            f"unknown extra knob(s) {sorted(unknown)}; the selected plugins "
+            f"advertise {sorted(known)}"
+        )
 
 
 def extract(
@@ -305,6 +329,7 @@ def extract(
         # a typo'd stage would silently run the FULL pipeline and hand the
         # caller a final table labeled as an intermediate (r5 review)
         raise KeyError(f"unknown stage {until!r}; have {list(STAGE_ORDER)}")
+    validate_extra(cfg)
 
     needs_staged = (
         until is not None

@@ -412,3 +412,49 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_serve_unknown_extra_knob_400(server):
+    """A typo'd KNOB inside extra is rejected 400 like a typo'd field —
+    validate_extra stops the silent-dishonor one level deeper (r5
+    review); a knob advertised by the selected enricher still works and
+    is honored."""
+    from manga_translator_spark.oracle import extract_page
+
+    row = next(
+        r for r in generate_corpus(30)
+        if extract_page(r["url"], r["html"]).extracted_text
+    )
+    status, body = _post(
+        server,
+        bytes(row["html"]),
+        '?config={"enricher":"debug","extra":{"constat":"woof"}}',
+    )
+    assert status == 400 and b"unknown extra knob" in body
+    status, body = _post(
+        server,
+        bytes(row["html"]),
+        '?config={"enricher":"debug","extra":{"constant":"woof"}}',
+    )
+    assert status == 200 and b"woof" in body
+
+
+def test_serve_duplicate_lexicon_400_and_mapping_shape(server):
+    """A mapping-shaped lexicon is honored via the shared normalizer (a
+    bare dict iteration would unpack keys char-by-char); duplicate source
+    tokens are rejected on the serve path exactly like batch ANSI map()
+    rejects them (r5 review)."""
+    import json as _json
+    import urllib.parse
+
+    row = generate_corpus(1)[0]
+    cfg = {"enricher": "dict", "extra": {"lexicon": [["the", "der"], ["the", "das"]]}}
+    status, body = _post(
+        server, bytes(row["html"]), "?config=" + urllib.parse.quote(_json.dumps(cfg))
+    )
+    assert status == 400 and b"duplicate lexicon" in body
+    cfg = {"enricher": "dict", "extra": {"lexicon": {"to": "zu"}}}
+    status, body = _post(
+        server, bytes(row["html"]), "?config=" + urllib.parse.quote(_json.dumps(cfg))
+    )
+    assert status == 200

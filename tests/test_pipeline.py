@@ -228,3 +228,62 @@ def test_oracle_extract_page_skips_recognition_when_off(corpus_rows):
         assert off.recognized == []
         assert off.extracted_text == on.extracted_text
         assert off.spans == on.spans
+
+
+def test_unknown_extra_knob_raises(pages_df):
+    """A typo'd knob INSIDE extra must fail fast, not silently serve the
+    default — the same silent-dishonor class as typo'd fields (r5
+    review)."""
+    with pytest.raises(KeyError, match="unknown extra knob"):
+        extract(pages_df.limit(1), PipelineConfig(enricher="debug", extra={"constat": "woof"}))
+
+
+def test_batched_enricher_rejects_nonpositive_batch_rows():
+    """batch_rows<=0 made the mapInPandas range() yield nothing — an
+    EMPTY output table with exit 0 (r5 review); must raise at compose."""
+    from manga_translator_spark.operators.enrich import make_enrich_batched
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="batch_rows"):
+            make_enrich_batched(batch_rows=bad)
+
+
+def test_lexicon_normalizer_shapes_and_dupes(pages_df):
+    """Mapping-shaped lexicons go through .items() (bare dict iteration
+    unpacks KEYS char-by-char); duplicate source tokens raise on BOTH the
+    batch and serve paths so ANSI map() vs Python dict cannot diverge
+    (r5 review)."""
+    from manga_translator_spark.operators.enrich import normalize_lexicon
+
+    assert normalize_lexicon({"to": "zu"}) == (("to", "zu"),)
+    assert normalize_lexicon([("to", "zu"), ["the", "der"]]) == (
+        ("to", "zu"),
+        ("the", "der"),
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        normalize_lexicon([("the", "der"), ("the", "das")])
+    with pytest.raises(ValueError, match="pairs"):
+        normalize_lexicon(["the"])
+    # end-to-end: a mapping lexicon through extract() == per-doc Python map,
+    # keyed on a token that provably occurs in the corpus slice
+    base = {
+        r["url"]: r["extracted_text"]
+        for r in extract(pages_df.limit(20), PipelineConfig()).collect()
+    }
+    word = next(
+        w.lower() for t in base.values() if t for w in t.split(" ") if w.isalpha()
+    )
+    lex = {word: "XLATED"}
+    out = {
+        r["url"]: r["extracted_text"]
+        for r in extract(
+            pages_df.limit(20),
+            PipelineConfig(enricher="dict", extra={"lexicon": lex}),
+        ).collect()
+    }
+    expected = {
+        u: " ".join(lex.get(w.lower(), w) for w in t.split(" ")) if t else t
+        for u, t in base.items()
+    }
+    assert out == expected
+    assert any(o != b for o, b in zip(out.values(), base.values()))  # non-vacuous

@@ -450,3 +450,29 @@ def test_stream_job_routed_sink_matches_batch(spark, corpus_rows, tmp_path):
     }
     exp = {r["url"]: r["extracted_text"] for r in extract_any(df).collect()}
     assert got == exp and len(got) == 24
+
+
+def test_stream_job_refuses_mixed_sink_layouts(tmp_path):
+    """Rerunning a sink with flags that select the OTHER writer mode must
+    fail fast (before Spark startup): epoch-partitioned foreachBatch
+    output vs _spark_metadata-manifested file-sink output are
+    incompatible layouts (r5 review)."""
+    import os
+
+    import pytest as _pytest
+
+    from jobs.stream import main
+
+    # epoch-partitioned sink, rerun WITHOUT dedup+route-pdf
+    sink1 = tmp_path / "s1"
+    os.makedirs(sink1 / "epoch=0")
+    with _pytest.raises(SystemExit) as e:
+        main(["--input", "x", "--out", str(sink1), "--checkpoint", "c"])
+    assert e.value.code == 2
+    # manifest sink, rerun WITH dedup+route-pdf
+    sink2 = tmp_path / "s2"
+    os.makedirs(sink2 / "_spark_metadata")
+    with _pytest.raises(SystemExit) as e:
+        main(["--input", "x", "--out", str(sink2), "--checkpoint", "c",
+              "--dedup", "--route-pdf"])
+    assert e.value.code == 2
