@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from manga_translator_spark.functions.texthash import (
     h60_duck,
     h60_spark,
+    segments_duck,
     shingles_duck,
     tokens_duck,
 )
@@ -358,6 +359,14 @@ def _q_dedup_clusters(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def _q_segment_dedup(spark, sf):
+    # operator defaults (SEG_W=3, SEG_MAX_COUNT=3) — at w=3 the synthetic
+    # corpus repeats ~3% of segments more than 3 times (w=2 is degenerate:
+    # nearly every bigram repeats; w>=5 drops nothing), so the query is
+    # non-vacuous without being destructive
+    return dedup.dedup_repeated_segments(_t(spark, sf, "documents"))
+
+
 def _q_gopher_quality(spark, sf):
     return text_analysis.gopher_quality(_t(spark, sf, "documents"))
 
@@ -440,6 +449,12 @@ def _q_doc_bpe_tokens(spark, sf):
 
 def _q_token_surprise(spark, sf):
     return text_analysis.token_surprise(_t(spark, sf, "documents"))
+
+
+def _q_surprise_buckets(spark, sf):
+    # default calibrated mode: NTILE(3) terciles over the deterministic
+    # doc_id % SURPRISE_CALIB_MOD sample, then the map-side CASE
+    return text_analysis.surprise_buckets(_t(spark, sf, "documents"))
 
 
 def _q_doc_repetition(spark, sf):
@@ -801,6 +816,18 @@ def _q_embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.3)
 
 
+# The synthetic embeddings are near-uniform on the sphere (real corpora
+# cluster much tighter), so the paper-faithful 0.95 default would drop
+# nothing at gate scale; 0.3 drops a measurable-but-minority slice.
+SEMDEDUP_Q_THRESHOLD = 0.3
+
+
+def _q_semantic_dedup(spark, sf):
+    return similarity.semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=SEMDEDUP_Q_THRESHOLD
+    )
+
+
 def _q_ann_in_bucket(spark, sf):
     return similarity.ann_topk_in_bucket(_t(spark, sf, "embeddings"))
 
@@ -898,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "winnow_fingerprint": _q_winnow,
         "dedup_clusters": _q_dedup_clusters,
+        "segment_dedup": _q_segment_dedup,
         "gopher_quality": _q_gopher_quality,
         "doc_wrap_lines": _q_doc_wrap_lines,
         "doc_wrap_hyphen": _q_doc_wrap_hyphen,
@@ -905,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_repetition": _q_doc_repetition,
         "token_surprise": _q_token_surprise,
+        "surprise_buckets": _q_surprise_buckets,
         "stream_dedup_digests": _q_stream_dedup_digests,
         "pdf_extract": _q_pdf_extract,
         "extract_routed": _q_extract_routed,
@@ -926,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": _q_ann_recall,
         "ann_bucket_recall": _q_ann_bucket_recall,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1333,6 +1363,44 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents))
     """
 
+    # Repeated-segment dedup twin: same shared fragments (tokens -> w-token
+    # non-overlapping segments -> 60-bit md5), same drop rule (corpus count
+    # > SEG_MAX_COUNT), same reassembly (surviving segments in position
+    # order).  DuckDB's array_to_string is NULL for BOTH a NULL and an
+    # empty list (probed: array_to_string([], ' ') IS NULL) where Spark's
+    # array_join(collect_list(...)) of an empty list is '' — the string
+    # coalesce inside sagg pins the all-dropped doc to '' on both sides;
+    # it cannot mask a zero-segment doc because every sagg group has >= 1
+    # segment by construction, and zero-segment docs fall out of sagg
+    # entirely so the outer left join gives them NULL text with 0/0
+    # counts, matching Spark.
+    _SEGS = segments_duck("tokens", dedup.SEG_W)
+    sql["segment_dedup"] = f"""
+      WITH shashed AS (
+        SELECT doc_id, g, seg, {h60_duck('seg')} AS h
+        FROM (SELECT doc_id, unnest(segs) AS seg,
+                     unnest(range(len(segs))) AS g
+              FROM (SELECT doc_id, {_SEGS} AS segs
+                    FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)))
+      ),
+      sdrop AS (SELECT h FROM shashed GROUP BY h
+                HAVING count(*) > {dedup.SEG_MAX_COUNT}),
+      sagg AS (
+        SELECT s.doc_id,
+               coalesce(array_to_string(
+                 list(s.seg ORDER BY s.g) FILTER (WHERE d.h IS NULL), ' '), '')
+                 AS text_deduped,
+               count(*) FILTER (WHERE d.h IS NULL) AS n_kept,
+               count(*) FILTER (WHERE d.h IS NOT NULL) AS n_dropped
+        FROM shashed s LEFT JOIN sdrop d USING (h)
+        GROUP BY s.doc_id
+      )
+      SELECT doc_id, a.text_deduped,
+             coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+             coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+      FROM documents LEFT JOIN sagg a USING (doc_id)
+    """
+
     # Gopher-rule quality twin (same integer constants/comparisons as
     # text_analysis.gopher_quality); reused as the filter stage of the
     # training_corpus composition below.
@@ -1486,6 +1554,27 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(1000000 // cnt) AS BIGINT) // n_tokens AS surprise_ppm
       FROM ex JOIN freq USING (tok)
       GROUP BY doc_id, n_tokens
+    """
+
+    # CCNet head/middle/tail bucketing: built FROM the token_surprise twin
+    # (single source — the scoring SQL cannot drift between the two), then
+    # the same all-integer NTILE(3) calibration over the deterministic
+    # doc_id % SURPRISE_CALIB_MOD sample with the (surprise_ppm, doc_id)
+    # full-struct tie order, and the same <=-CASE assignment.
+    sql["surprise_buckets"] = f"""
+      WITH scored AS ({sql['token_surprise']}),
+      scalib AS (SELECT surprise_ppm,
+                        ntile(3) OVER (ORDER BY surprise_ppm, doc_id) AS tile
+                 FROM scored
+                 WHERE doc_id % {text_analysis.SURPRISE_CALIB_MOD} = 0),
+      scuts AS (SELECT max(CASE WHEN tile = 1 THEN surprise_ppm END) AS c1,
+                       max(CASE WHEN tile <= 2 THEN surprise_ppm END) AS c2
+                FROM scalib)
+      SELECT doc_id, n_tokens, surprise_ppm,
+             CASE WHEN surprise_ppm <= c1 THEN 'head'
+                  WHEN surprise_ppm <= c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored CROSS JOIN scuts
     """
 
     # Streaming dedup twin: the kept-row digest set after watermarked
@@ -1746,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT error('IVF twin centroids unavailable "
             f"({_oracle_sf_dir()}/embeddings.parquet): {_esc}')"
         )
+        sql["semantic_dedup"] = sql["ann_ivf_topk"]
         _ivf_cents = None
     if _ivf_cents is not None:
         sql["ann_ivf_topk"] = f"""
@@ -1784,6 +1874,43 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON query_id = q.vec_id
               JOIN embeddings n ON neighbor_id = n.vec_id)
       ) WHERE rank <= 5
+    """
+
+    # SemDeDup twin: same pinned kmeans centroid table, same rn=1 cell
+    # assignment CTEs as the IVF twin, then the paper's greedy by-id rule
+    # as a within-cell self-join — x drops iff a lower vec_id y in the
+    # same cell has round(cos, 4) >= threshold (rounded BEFORE the
+    # comparison on both engines, so the boundary cannot flip).
+    if _ivf_cents is not None:
+        cos_xy = (
+            f"{_dot_duck('x.embedding', 'y.embedding')} / "
+            f"(sqrt({_dot_duck('x.embedding', 'x.embedding')}) * "
+            f"sqrt({_dot_duck('y.embedding', 'y.embedding')}))"
+        )
+        sql["semantic_dedup"] = f"""
+      WITH cents AS (SELECT * FROM (VALUES {_ivf_cents})
+                     AS t(cell, embedding)),
+      scored AS (
+        SELECT e.vec_id, c.cell, round({cos_ec}, 4) AS cos_c
+        FROM embeddings e CROSS JOIN cents c
+      ),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cell ASC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+      ),
+      sdup AS (
+        SELECT DISTINCT ax.vec_id
+        FROM assigned ax JOIN assigned ay USING (cell)
+        JOIN embeddings x ON ax.vec_id = x.vec_id
+        JOIN embeddings y ON ay.vec_id = y.vec_id
+        WHERE ax.vec_id > ay.vec_id
+          AND round({cos_xy}, 4) >= {SEMDEDUP_Q_THRESHOLD}
+      )
+      SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+      FROM assigned a LEFT JOIN sdup d ON a.vec_id = d.vec_id
     """
 
     # ANN recall evaluation: composes the two twins above — exact top-k is

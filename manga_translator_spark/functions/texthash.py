@@ -52,6 +52,30 @@ def tokens_duck(col: str) -> str:
     )
 
 
+# Non-overlapping w-token segments (space-joined), 0-indexed by position.
+# The unit of CCNet-style repeated-segment (boilerplate) dedup: unlike
+# shingles these PARTITION the token stream, so dropping a segment and
+# re-joining the survivors reconstructs the document minus the boilerplate.
+# Zero-token docs yield an empty array (exploders drop the row); a short
+# final window keeps its tail tokens (slice clamps on both engines).
+def segments_spark(tokens: str, w: int) -> str:
+    """Same let-binding discipline as shingles_spark: bind the token array
+    once via a single-element ``transform`` so the tokenizer is not
+    re-inlined into the per-segment lambda."""
+    body = f"""CASE WHEN size(tks) = 0 THEN array()
+      ELSE transform(sequence(0, cast(ceil(size(tks) / {w}.0) as int) - 1),
+                     g -> array_join(slice(tks, g * {w} + 1, {w}), ' '))
+      END"""
+    return f"element_at(transform(array({tokens}), tks -> {body}), 1)"
+
+
+def segments_duck(tokens: str, w: int) -> str:
+    return f"""CASE WHEN len({tokens}) = 0 THEN []
+      ELSE list_transform(range(CAST(ceil(len({tokens}) / {w}.0) AS BIGINT)),
+                          g -> array_to_string({tokens}[(g * {w} + 1):((g + 1) * {w})], ' '))
+      END"""
+
+
 # Word shingles (w tokens, space-joined); short docs yield one whole-doc shingle.
 def shingles_spark(tokens: str, w: int = 3) -> str:
     """SQL has no let-bindings, so bind the evaluated token array to a

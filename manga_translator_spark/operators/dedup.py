@@ -32,6 +32,7 @@ from manga_translator_spark.functions.texthash import (
     MINHASH_B,
     MINHASH_P,
     h60_spark,
+    segments_spark,
     shingles_spark,
     tokens_spark,
 )
@@ -319,6 +320,92 @@ def simhash(docs: "DataFrame", text_col: str = "text", n_bits: int = SIMHASH_BIT
     return (
         spread(docs).withColumn("hashes", F.expr(f"transform({toks}, t -> {th})"))
         .select("doc_id", F.expr(expr).alias("simhash"))
+    )
+
+
+SEG_W = 3           # tokens per non-overlapping segment
+SEG_MAX_COUNT = 3   # a segment seen in more than this many places is boilerplate
+
+
+def dedup_repeated_segments(
+    docs: "DataFrame",
+    text_col: str = "text",
+    width: int = SEG_W,
+    max_count: int = SEG_MAX_COUNT,
+) -> "DataFrame":
+    """CCNet-style repeated-segment removal: drop every non-overlapping
+    ``width``-token segment that occurs more than ``max_count`` times
+    ACROSS the corpus, and reassemble each document from its surviving
+    segments in order (CCNet §3.1 does this per line/paragraph; this
+    corpus has no newlines, so fixed token windows are the unit — the
+    same move strips nav bars, cookie banners, and footer boilerplate
+    that main-content extraction missed).
+
+    100 TB shape, three stages:
+      1. segment + hash scan-side: `posexplode` of the JVM-codegen segment
+         array, then the 60-bit md5 — the count shuffle carries
+         (hash, partial count), 8 bytes per distinct segment per
+         partition after map-side combine;
+      2. drop-set = hashes with count > max_count.  Boilerplate is the
+         heavy head of the distribution, so the drop-set is orders of
+         magnitude smaller than the segment table; it stays UNHINTED —
+         AQE broadcasts it when measured-small and falls back to a
+         shuffle join when a pathological corpus makes it big.  A hot
+         hash (the same cookie banner a billion times) skews the probe
+         side of the join; AQE skew-join splits it;
+      3. reassembly: groupBy(doc_id) over the surviving (position,
+         segment) pairs — the one unavoidable full-text shuffle, keyed
+         exactly like the input so a bucketed-by-doc_id table re-uses its
+         layout.
+
+    Output per input doc (docs with zero tokens keep a row):
+    ``doc_id``, ``text_deduped`` (NULL iff the doc had no segments;
+    ``''`` iff every segment was dropped), ``n_kept``, ``n_dropped``.
+    Text is reassembled from the SHARED tokenizer's normalized tokens
+    (texthash.tokens_spark), not raw bytes — the downstream training
+    pipeline consumes the normalized form anyway.
+    """
+    toks = tokens_spark(text_col)
+    segs = (
+        spread(docs)
+        .select("doc_id", F.expr(segments_spark(toks, width)).alias("segs"))
+        .select("doc_id", F.posexplode("segs").alias("g", "seg"))
+        .withColumn("h", F.expr(h60_spark("seg")))
+    )
+    drop = (
+        segs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > int(max_count))
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    agg = (
+        segs.join(drop, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_dup").isNull(), F.struct("g", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.when(F.col("is_dup").isNull(), F.lit(1))).alias("n_kept"),
+            F.count("is_dup").alias("n_dropped"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_deduped",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
     )
 
 

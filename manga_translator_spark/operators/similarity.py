@@ -533,6 +533,83 @@ def ann_ivf_topk(
     )
 
 
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    embeddings: "DataFrame",
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_cells: int = IVF_N_CELLS,
+    centroids: "str | DataFrame" = IVF_CENTROIDS,
+) -> "DataFrame":
+    """SemDeDup (Abbas et al., arXiv:2303.09540) semantic deduplication:
+    cluster the embedding space with the IVF coarse quantizer, then
+    inside each cluster drop every vector that has a LOWER-vec_id
+    near-duplicate (rounded cosine >= ``threshold``) in the same
+    cluster.  The lowest id of each near-dup group survives as the
+    representative; the greedy by-id rule (not connected components) is
+    the paper's one-pass approximation and is what the DuckDB twin
+    replays exactly.
+
+    The scale design IS the clustering: the all-pairs cosine that makes
+    naive embedding dedup O(n^2) runs only WITHIN a cell, so total work
+    is O(sum m_i^2) — with n_cells grown ~sqrt(n) like the IVF index
+    (the paper's k) each cell stays executor-sized and the per-cell
+    self-join is a plain shuffle join on the cell id.  A pathological
+    giant cluster (an embedding-space spam blob) skews that join; AQE
+    skew-join splits the probe side, and raising n_cells shrinks every
+    cell.  Near-dups that straddle a cell boundary are missed — the
+    paper's accepted recall trade; ``embedding_near_dup`` (banded LSH)
+    is the recall-multiplying alternative.
+
+    Output: one row per input vector — vec_id, cell, kept (false iff a
+    lower-id near-dup shares the cell).  Cosines are rounded to 4
+    decimals BEFORE the threshold comparison on both engines, so the
+    boundary cannot flip between Spark and the twin.
+    """
+    embeddings = spread(embeddings)
+    if isinstance(centroids, str):
+        if centroids == "kmeans":
+            cent = _ivf_centroids_kmeans(embeddings, n_cells)
+        else:
+            cent = _ivf_centroids(embeddings, n_cells)
+    else:
+        cent = centroids
+    assigned = _with_norm(
+        _ranked_cells(embeddings, cent)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+        .join(embeddings.select("vec_id", "embedding"), "vec_id"),
+        "embedding",
+        "nrm",
+    )
+    x = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_x"),
+        F.col("embedding").alias("emb_x"),
+        F.col("nrm").alias("norm_x"),
+    )
+    y = assigned.select(
+        "cell",
+        F.col("vec_id").alias("vec_y"),
+        F.col("embedding").alias("emb_y"),
+        F.col("nrm").alias("norm_y"),
+    )
+    dropped = (
+        x.join(y, "cell")
+        .filter(F.col("vec_x") > F.col("vec_y"))
+        .filter(_cos_pre("emb_x", "emb_y", "norm_x", "norm_y") >= float(threshold))
+        .select(F.col("vec_x").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("is_dup").isNull().alias("kept"))
+    )
+
+
 def ann_topk_in_bucket(
     embeddings: "DataFrame",
     k: int = 5,

@@ -589,3 +589,76 @@ def token_surprise(
             F.expr("surprise_sum DIV n_tokens").alias("surprise_ppm"),
         )
     )
+
+
+SURPRISE_CALIB_MOD = 5  # calibration sample = doc_id % mod == 0 (~20%)
+
+
+def surprise_buckets(
+    docs: "DataFrame",
+    text_col: str = "text",
+    cutoffs: "tuple[int, int] | None" = None,
+    calib_mod: int = SURPRISE_CALIB_MOD,
+    vocab_limit: int | None = None,
+    tail_cnt: int = 1,
+) -> "DataFrame":
+    """CCNet-style head/middle/tail corpus partitioning over the
+    ``token_surprise`` score (CCNet §4.3 buckets by LM perplexity
+    terciles and trains on the head; the integer surprise score plays
+    the perplexity role here, so the whole operator stays twin-exact).
+
+    Two cutoff modes, both ending in the same pure map-side CASE:
+
+    * ``cutoffs=(c1, c2)`` — fixed integer ppm thresholds, the 100 TB
+      production path: zero work beyond ``token_surprise`` itself.
+      CCNet ships exactly this shape (per-language cutoffs computed once
+      on a sample, then frozen).
+    * ``cutoffs=None`` (default, driver-twinned) — calibrate on the
+      deterministic ``doc_id % calib_mod == 0`` sample: rank the sample
+      by (surprise_ppm, doc_id) — the full-struct tie order, not score
+      alone — NTILE(3) it, and take each tercile's max score as its
+      cutoff.  All-integer, so the DuckDB twin agrees exactly (no
+      interpolated percentile float to disagree about in the last ulp).
+      The NTILE is a single-partition global window — safe ONLY because
+      it runs on the bounded calibration sample, never the corpus; at
+      100 TB raise ``calib_mod`` so the sample stays ~1e6 rows, or
+      precompute and pass fixed ``cutoffs``.  The one-row cutoff frame
+      joins back via an explicit tiny broadcast.
+
+    Bucket rule: ``surprise_ppm <= c1 -> 'head'`` (corpus-dominant
+    vocabulary), ``<= c2 -> 'middle'``, else ``'tail'`` (rare/gibberish).
+    An EMPTY calibration sample leaves both cutoffs NULL and every doc
+    in 'tail' (NULL comparisons fail both CASE arms) — the twin encodes
+    the same contract.  Zero-token docs have no score row and are absent
+    here too (the token_surprise drop contract).
+
+    Output: doc_id, n_tokens, surprise_ppm, bucket.
+    """
+    scored = token_surprise(docs, text_col, vocab_limit=vocab_limit, tail_cnt=tail_cnt)
+    if cutoffs is not None:
+        c1, c2 = (int(c) for c in cutoffs)
+        cuts = scored.sparkSession.range(1).select(
+            F.lit(c1).cast("long").alias("c1"), F.lit(c2).cast("long").alias("c2")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.asc("surprise_ppm"), F.asc("doc_id"))
+        cuts = (
+            scored.filter(F.expr(f"doc_id % {int(calib_mod)} = 0"))
+            .withColumn("tile", F.ntile(3).over(w))
+            .groupBy()
+            .agg(
+                F.max(F.when(F.col("tile") == 1, F.col("surprise_ppm"))).alias("c1"),
+                F.max(F.when(F.col("tile") <= 2, F.col("surprise_ppm"))).alias("c2"),
+            )
+        )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "surprise_ppm",
+        F.expr(
+            "CASE WHEN surprise_ppm <= c1 THEN 'head' "
+            "WHEN surprise_ppm <= c2 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )

@@ -207,6 +207,32 @@ def _operator_arg_schemas() -> dict:
             "default_ppt": a("int", 0, "per-mille keep rate for strata not in `rates`"),
             "salt": a("str", curation.SAMPLE_SALT, "hash salt (sample identity)"),
         },
+        "dedup.dedup_repeated_segments": {
+            "width": a("int", dedup.SEG_W, "tokens per non-overlapping segment"),
+            "max_count": a(
+                "int", dedup.SEG_MAX_COUNT,
+                "corpus occurrence ceiling — segments above it are boilerplate",
+            ),
+        },
+        "text_analysis.surprise_buckets": {
+            "cutoffs": a(
+                "(int,int)|None", None,
+                "fixed (head, middle) ppm thresholds; None = NTILE(3) tercile "
+                "calibration on the doc_id %% calib_mod sample",
+            ),
+            "calib_mod": a(
+                "int", _ta.SURPRISE_CALIB_MOD,
+                "calibration sampling modulus — raise at scale to bound the sample",
+            ),
+        },
+        "similarity.semantic_dedup": {
+            "threshold": a("float", similarity.SEMDEDUP_THRESHOLD, "within-cell cosine drop threshold"),
+            "n_cells": a("int", similarity.IVF_N_CELLS, "clusters (scale ~sqrt(corpus))"),
+            "centroids": a(
+                "str|DataFrame", similarity.IVF_CENTROIDS,
+                "coarse quantizer: first | kmeans (sampled Lloyd) | prebuilt table",
+            ),
+        },
     }
 
 

@@ -243,6 +243,50 @@ def test_ivf_kmeans_centroids_deterministic_and_better(spark):
     assert hits["kmeans"] >= hits["first"] - len(exact) // 20, hits
 
 
+def test_semantic_dedup_greedy_rule_and_cell_invariant(spark):
+    """The SemDeDup greedy by-id rule on an engineered one-cell corpus:
+    with a~b, b~c, a!~c (ids a<b<c), BOTH b and c drop — c's only
+    near-dup b was itself dropped, which is the paper's one-pass
+    approximation, not connected-components — and the lowest id always
+    survives.  On real testdata every non-empty cell keeps >= 1 vector
+    and the total row count is the input count."""
+    import math
+
+    import pandas as pd
+
+    from manga_translator_spark.operators.similarity import (
+        EMB_DIM,
+        semantic_dedup,
+    )
+
+    # unit vectors in a 2-D subspace: angle 0, 50, 100 degrees ->
+    # cos(a,b)=cos(b,c)~0.643 >= 0.6, cos(a,c)~-0.17 < 0.6
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * (EMB_DIM - 2)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [10, 11, 12], "embedding": [vec(0), vec(50), vec(100)]}
+        )
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.6, n_cells=1, centroids="first").collect()
+    }
+    assert got == {10: True, 11: False, 12: False}
+    # corpus invariants at sf0.001
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup(emb, threshold=0.3).collect()
+    assert len(rows) == emb.count()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert all(any(x["kept"] for x in v) for v in by_cell.values())
+    # the lowest id in each cell is always kept
+    assert all(min(v, key=lambda x: x["vec_id"])["kept"] for v in by_cell.values())
+
+
 def test_ivf_kmeans_kernel_guards_and_twin_parity(spark):
     """ADVICE r4 #1: the kmeans kernel fails loudly on an empty or
     all-zero-norm sample (np.linalg.norm raised AxisError before any

@@ -353,6 +353,118 @@ def test_token_surprise_vocab_limit(spark):
     assert soft[0] == full[0]  # docs with no tail tokens are unchanged
 
 
+def test_surprise_buckets_fixed_and_calibrated(spark):
+    """Fixed cutoffs are a pure CASE over token_surprise; the calibrated
+    default reproduces NTILE(3) terciles of the doc_id % mod sample; an
+    empty calibration sample puts every doc in 'tail' (NULL cutoffs fail
+    both CASE arms) — the documented contract, mirrored by the twin."""
+    from manga_translator_spark.operators.text_analysis import (
+        surprise_buckets,
+        token_surprise,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    scores = {
+        r["doc_id"]: r["surprise_ppm"] for r in token_surprise(docs).collect()
+    }
+    # fixed mode: hand-pick cutoffs straddling the score range
+    lo, hi = min(scores.values()), max(scores.values())
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in surprise_buckets(docs, cutoffs=(lo, hi)).collect()
+    }
+    assert all(
+        b == ("head" if scores[d] <= lo else "middle") for d, b in got.items()
+    )
+    # calibrated mode vs a Python replica of the NTILE(3) rule
+    mod = 7
+    calib = sorted(
+        (s, d) for d, s in scores.items() if d % mod == 0
+    )
+    n = len(calib)
+    sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+    c1 = calib[sizes[0] - 1][0]
+    c2 = calib[sizes[0] + sizes[1] - 1][0]
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in surprise_buckets(docs, calib_mod=mod).collect()
+    }
+    want = {
+        d: ("head" if s <= c1 else "middle" if s <= c2 else "tail")
+        for d, s in scores.items()
+    }
+    assert got == want and len(set(got.values())) == 3
+    # empty calibration sample -> all tail
+    lonely = docs.filter("doc_id = 1")
+    got = {r["doc_id"]: r["bucket"] for r in surprise_buckets(lonely, calib_mod=5).collect()}
+    assert got == {1: "tail"}
+
+
+def test_segment_dedup_hand_case(spark):
+    """width=2, max_count=2 over a hand corpus: the 'x y' segment appears
+    3x (> max_count) and is dropped everywhere; reassembly preserves
+    surviving-segment order; a doc that was ALL boilerplate comes back as
+    '' (not NULL); zero-token and NULL docs keep a row with NULL text and
+    0/0 counts."""
+    from manga_translator_spark.operators.dedup import dedup_repeated_segments
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "x y a b",      # drops 'x y', keeps 'a b'
+                    "x y c",        # drops 'x y', keeps tail segment 'c'
+                    "x y",          # all boilerplate -> ''
+                    "...",          # zero tokens -> NULL
+                    None,           # NULL text -> NULL
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_kept"], r["n_dropped"])
+        for r in dedup_repeated_segments(docs, width=2, max_count=2).collect()
+    }
+    assert got[0] == ("a b", 1, 1)
+    assert got[1] == ("c", 1, 1)
+    assert got[2] == ("", 0, 1)
+    assert got[3] == (None, 0, 0)
+    assert got[4] == (None, 0, 0)
+
+
+def test_segment_dedup_reassembly_identity_when_nothing_drops(spark):
+    """With max_count above every corpus count nothing drops, and the
+    reassembled text is exactly the normalized token stream (position
+    order survives the shuffle + array_sort round trip)."""
+    from manga_translator_spark.functions.texthash import tokens_duck
+    from manga_translator_spark.operators.dedup import dedup_repeated_segments
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        "doc_id < 100"
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup_repeated_segments(docs, max_count=10**9).collect()
+    }
+    import duckdb
+
+    want = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, array_to_string("
+            + tokens_duck("text")
+            + ", ' ') FROM read_parquet('/root/testdata/sf0.01/documents.parquet') "
+            "WHERE doc_id < 100"
+        )
+        .fetchall()
+    )
+    assert len(out) == 100
+    assert all(out[d] == want[d] for d in want if want[d] != "")
+
+
 if __name__ == "__main__":
     import sys
 
