@@ -576,6 +576,45 @@ _PII_INJECT_DUCK = (
 )
 
 
+# deterministic C4-rule payloads: each doc_id % 8 class trips exactly one
+# rule (class 6 REPLACES the text so the too-short rule can fire; class 7
+# stays clean so keep=1 is exercised).  Spark and DuckDB build identical
+# injected bytes — change in lockstep.
+_C4_BLOCKWORD = "spamword"
+_C4_INJECT_SPARK = (
+    "CASE WHEN CAST(doc_id % 8 AS INT) = 6 THEN 'tiny doc here' "
+    "ELSE concat(text, CASE CAST(doc_id % 8 AS INT) "
+    "WHEN 0 THEN ' function() { return; }' "
+    "WHEN 1 THEN ' Lorem Ipsum dolor sit' "
+    "WHEN 2 THEN ' enable JavaScript to continue' "
+    "WHEN 3 THEN ' this site uses cookies' "
+    "WHEN 4 THEN ' read our Privacy Policy' "
+    "WHEN 5 THEN ' spamword offer expires' "
+    "ELSE '' END) END"
+)
+_C4_INJECT_DUCK = (
+    "CASE WHEN (doc_id % 8) = 6 THEN 'tiny doc here' "
+    "ELSE (text || CASE (doc_id % 8) "
+    "WHEN 0 THEN ' function() { return; }' "
+    "WHEN 1 THEN ' Lorem Ipsum dolor sit' "
+    "WHEN 2 THEN ' enable JavaScript to continue' "
+    "WHEN 3 THEN ' this site uses cookies' "
+    "WHEN 4 THEN ' read our Privacy Policy' "
+    "WHEN 5 THEN ' spamword offer expires' "
+    "ELSE '' END) END"
+)
+
+
+def _q_c4_filters(spark, sf):
+    """C4/FineWeb heuristic rule filters over documents with injected
+    payloads (the scrub_pii discipline: the raw synthetic corpus trips no
+    rule, so every class is injected deterministically)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_C4_INJECT_SPARK).alias("text")
+    )
+    return text_analysis.c4_rules(docs, blocklist=(_C4_BLOCKWORD,))
+
+
 def _q_scrub_pii(spark, sf):
     """PII redaction over documents with injected payloads: counts on the
     pre-redaction text plus the md5 of the redacted bytes (the twin
@@ -804,6 +843,29 @@ def _q_doc_chunks(spark, sf):
     )
 
 
+# ExactSubstr driver knobs: the operator default (w=50) never fires on the
+# 10-99-token synthetic docs; at w=5/max_count=1 the corpus covers 9.4% of
+# token positions across 71/500 docs at sf0.01 (measured — w=4 is
+# destructive at 18.5% coverage, max_count=2 near-vacuous at 0.9%).
+SPAN_Q_W = 5
+SPAN_Q_MAX_COUNT = 1
+
+
+def _q_dedup_spans(spark, sf):
+    return dedup.dedup_duplicate_spans(
+        _t(spark, sf, "documents"), width=SPAN_Q_W, max_count=SPAN_Q_MAX_COUNT
+    )
+
+
+def _q_dsir_scores(spark, sf):
+    # target = the deterministic doc_id % mod eval split (the decontam
+    # discipline); raw = the FULL corpus — the target being a subset of
+    # raw is the paper's setting (raw is "the distribution you have")
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.expr(f"doc_id % {DECONTAM_BENCH_MOD} = 0"))
+    return curation.dsir_scores(docs, target)
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -948,6 +1010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": _q_pack_greedy,
         "sample_stratified": _q_sample_stratified,
         "doc_chunks": _q_doc_chunks,
+        "dedup_spans": _q_dedup_spans,
+        "dsir_scores": _q_dsir_scores,
+        "c4_filters": _q_c4_filters,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -1713,6 +1778,97 @@ def oracle_sql() -> dict[str, str]:
                    {h60_duck(_skey)} % {curation.SAMPLE_MOD} AS bucket
             FROM documents)
       WHERE bucket < ({_rate_case})
+    """
+
+    # ExactSubstr span dedup (dedup.dedup_duplicate_spans): overlapping
+    # w-token window hashes -> corpus dup-set -> per-doc covered-position
+    # union -> reassembly from the uncovered tokens in order.  Same ''-vs-
+    # NULL contract as segment_dedup (array_to_string([]) is NULL in
+    # DuckDB; the coalesce restores Spark's '' for fully-covered docs).
+    _sp_sh = shingles_duck("tokens", SPAN_Q_W)
+    sql["dedup_spans"] = f"""
+      WITH tok AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+      wins AS (
+        SELECT doc_id, i, {h60_duck('s')} AS h
+        FROM (SELECT doc_id, unnest(sh) AS s,
+                     unnest(generate_series(1, len(sh))) AS i
+              FROM (SELECT doc_id, {_sp_sh} AS sh FROM tok))
+        WHERE s != ''
+      ),
+      dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > {SPAN_Q_MAX_COUNT}),
+      starts AS (SELECT doc_id, list_sort(list(i)) AS starts
+                 FROM wins JOIN dup USING (h) GROUP BY doc_id),
+      asm AS (
+        SELECT t.doc_id, t.tokens, len(t.tokens) AS n,
+               list_distinct(flatten(list_transform(coalesce(s.starts, []),
+                 st -> generate_series(st, least(st + {SPAN_Q_W} - 1, len(t.tokens)))))) AS cov
+        FROM tok t LEFT JOIN starts s USING (doc_id)
+      )
+      SELECT doc_id,
+        CASE WHEN n = 0 THEN NULL ELSE coalesce(
+          array_to_string(list_transform(
+            list_filter(generate_series(1, n), p -> NOT list_contains(cov, p)),
+            p -> tokens[p]), ' '), '') END AS text_despanned,
+        (n - len(cov))::BIGINT AS n_kept,
+        len(cov)::BIGINT AS n_dropped
+      FROM asm
+    """
+
+    # DSIR scores (curation.dsir_scores): unigram+bigram bag hashed into
+    # the fixed bucket space, add-1 integer frequency-ratio weights,
+    # per-doc integer mean.  All-integer arithmetic — // here == DIV there.
+    _dsir_feats = f"""CASE WHEN len(tokens) < 2 THEN tokens
+        ELSE list_concat(tokens, list_transform(range(1, len(tokens)),
+                         i -> tokens[i] || ' ' || tokens[i + 1]))
+        END"""
+    sql["dsir_scores"] = f"""
+      WITH feats AS (
+        SELECT doc_id, {h60_duck('s')} % {curation.DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, unnest(fs) AS s
+              FROM (SELECT doc_id, {_dsir_feats} AS fs
+                    FROM (SELECT doc_id, {_TOKS} AS tokens FROM documents)))
+      ),
+      raw AS (SELECT b, count(*) AS raw_cnt FROM feats GROUP BY b),
+      tgt AS (SELECT b, count(*) AS tgt_cnt FROM feats
+              WHERE doc_id % {DECONTAM_BENCH_MOD} = 0 GROUP BY b),
+      w AS (SELECT coalesce(r.b, t.b) AS b,
+                   ({curation.DSIR_SCALE}::BIGINT * (coalesce(t.tgt_cnt, 0) + 1))
+                     // (coalesce(r.raw_cnt, 0) + 1) AS w_ppm
+            FROM raw r FULL OUTER JOIN tgt t ON r.b = t.b),
+      sc AS (SELECT f.doc_id, count(*) AS n_feats,
+                    (sum(w.w_ppm) // count(*))::BIGINT AS score_ppm
+             FROM feats f JOIN w USING (b) GROUP BY f.doc_id)
+      SELECT d.doc_id, coalesce(sc.n_feats, 0)::BIGINT AS n_feats, sc.score_ppm
+      FROM documents d LEFT JOIN sc USING (doc_id)
+    """
+
+    # C4 heuristic rules (text_analysis.c4_rules) over the injected
+    # payloads; the phrase lists come from the operator's constants so the
+    # two sides cannot drift.
+    _c4_pol = " OR ".join(
+        f"contains(low, '{p}')" for p in text_analysis.C4_POLICY_PHRASES
+    )
+    _c4_lor = " OR ".join(
+        f"contains(low, '{p}')" for p in text_analysis.C4_BLOCK_PHRASES
+    )
+    sql["c4_filters"] = f"""
+      WITH injected AS (SELECT doc_id, {_C4_INJECT_DUCK} AS text FROM documents),
+      tok AS (SELECT doc_id, text, lower(coalesce(text, '')) AS low,
+                     {_TOKS} AS tokens FROM injected),
+      flags AS (
+        SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
+          CASE WHEN contains(coalesce(text, ''), '{{') THEN 1 ELSE 0 END AS has_brace,
+          CASE WHEN {_c4_lor} THEN 1 ELSE 0 END AS has_lorem,
+          CASE WHEN list_contains(tokens, 'javascript') THEN 1 ELSE 0 END AS has_js,
+          CASE WHEN {_c4_pol} THEN 1 ELSE 0 END AS has_policy,
+          CASE WHEN list_contains(tokens, '{_C4_BLOCKWORD}') THEN 1 ELSE 0 END AS has_blocked,
+          CASE WHEN len(tokens) < {text_analysis.C4_MIN_WORDS} THEN 1 ELSE 0 END AS too_short
+        FROM tok
+      )
+      SELECT *, CASE WHEN has_brace + has_lorem + has_js + has_policy
+                          + has_blocked + too_short = 0
+                     THEN 1 ELSE 0 END AS keep
+      FROM flags
     """
 
     # connected components over the LSH pair graph as a recursive closure;

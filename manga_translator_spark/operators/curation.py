@@ -152,6 +152,104 @@ def pack_sequences(
     )
 
 
+DSIR_BUCKETS = 4096     # hashed feature space (paper uses 10k; bounded either way)
+DSIR_SCALE = 1_000_000  # integer ppm scale — twin-exact arithmetic
+
+
+def dsir_scores(
+    train: "DataFrame",
+    target: "DataFrame",
+    *,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> "DataFrame":
+    """DSIR-style data selection scores (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"), as an
+    integer-exact stand-in (the token_surprise discipline: no float column
+    anywhere, so the DuckDB twin reproduces values bit-for-bit).
+
+    The paper scores each raw document by the log-likelihood ratio of a
+    TARGET hashed-n-gram bag model over a RAW one and resamples by that
+    weight.  Here: features are unigrams + bigrams hashed into
+    ``n_buckets`` buckets; each bucket's weight is the add-1-smoothed
+    integer frequency ratio
+
+        weight_ppm(b) = (SCALE * (cnt_target(b) + 1)) DIV (cnt_raw(b) + 1)
+
+    and a document's score is the integer mean weight of its feature
+    occurrences — high = target-like, low = raw-boilerplate-like.  The
+    ordering signal is the paper's; the log and the resampling draw are
+    the parts a float-free twin cannot carry (rank by score_ppm and take
+    the top slice to select).
+
+    100 TB shape: both count aggregates are map-side-combined explodes
+    whose shuffle carries (bucket, partial count) — and the bucket space
+    is FIXED at ``n_buckets``, so unlike token_surprise's unbounded vocab
+    the weight table is bounded by construction and explicitly
+    broadcast; the score join is therefore shuffle-free on the corpus
+    side, and the per-doc mean is one more partial agg keyed doc_id.
+    Target sets are small by definition (a quality corpus sample), so the
+    extra scan over ``target`` is noise.
+
+    Output: (doc_id, n_feats, score_ppm) for every train doc —
+    ``n_feats`` = feature occurrences (n_tokens + n_bigrams),
+    ``score_ppm`` NULL iff the doc has no tokens.
+    """
+    feats_train = _dsir_feature_rows(train, text_col, n_buckets)
+    feats_target = _dsir_feature_rows(target, text_col, n_buckets)
+    raw_cnt = feats_train.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt_cnt = feats_target.groupBy("b").agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    weights = (
+        raw_cnt.join(tgt_cnt, "b", "full_outer")
+        .select(
+            "b",
+            F.expr(
+                f"cast({DSIR_SCALE} * (coalesce(tgt_cnt, 0) + 1) as bigint)"
+                " DIV (coalesce(raw_cnt, 0) + 1)"
+            ).alias("w_ppm"),
+        )
+    )
+    scored = (
+        feats_train.join(F.broadcast(weights), "b")  # bounded: <= n_buckets rows
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("sum(w_ppm) DIV count(1)").alias("score_ppm"),
+        )
+    )
+    return (
+        train.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def _dsir_feature_rows(docs: "DataFrame", text_col: str, n_buckets: int) -> "DataFrame":
+    """(doc_id, b): one row per feature OCCURRENCE (unigrams + bigrams,
+    with multiplicity — a bag model, not a set), b = 60-bit md5 hash of
+    the feature mod n_buckets.  Docs with one token contribute just that
+    unigram (the bigram shingle fallback would duplicate it); zero-token
+    docs contribute nothing."""
+    toks = tokens_spark(text_col)
+    feats = f"""element_at(transform(array({toks}), tks ->
+      CASE WHEN size(tks) < 2 THEN tks
+      ELSE concat(tks, transform(sequence(1, size(tks) - 1),
+                                 i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1))))
+      END), 1)"""
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(F.expr(feats)).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"pmod({h60_spark('s')}, {int(n_buckets)})").alias("b"),
+        )
+    )
+
+
 CHUNK_SIZE = 256
 CHUNK_STRIDE = 192
 

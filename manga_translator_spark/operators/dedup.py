@@ -409,6 +409,116 @@ def dedup_repeated_segments(
     )
 
 
+SPAN_W = 50         # Lee et al. 2021 exact-substring window (50 tokens)
+SPAN_MAX_COUNT = 1  # a window seen more than once anywhere is a duplicate
+
+
+def dedup_duplicate_spans(
+    docs: "DataFrame",
+    text_col: str = "text",
+    width: int = SPAN_W,
+    max_count: int = SPAN_MAX_COUNT,
+) -> "DataFrame":
+    """ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    OVERLAPPING ``width``-token window whose corpus-wide occurrence count
+    exceeds ``max_count`` marks all of its token positions as duplicated;
+    each document is reassembled from its uncovered tokens in order.
+    Unlike :func:`dedup_repeated_segments` (non-overlapping segments →
+    whole-unit drop), this removes the exact duplicated REGION at token
+    granularity, whatever its alignment — the paper's suffix-array result,
+    re-expressed as a distributed window-hash count (the suffix array
+    itself is a single-machine structure; overlapping fixed windows find
+    every duplicated substring of length >= width, the same guarantee the
+    paper's ExactSubstr(k=50) match rule provides).
+
+    100 TB shape, three stages:
+      1. window rows scan-side: let-bound tokenize → posexplode of the
+         overlapping windows → 60-bit md5.  The count shuffle carries
+         (hash, partial count) after map-side combine — 8 bytes per
+         distinct window per partition, never window text;
+      2. dup-set = hashes with count > max_count.  Duplicated boilerplate
+         is the heavy head of the window distribution, so the dup-set is
+         far smaller than the window table and stays UNHINTED — AQE
+         broadcasts it when measured-small; a pathological corpus (every
+         window duplicated) degrades to a shuffle join, not an OOM;
+      3. per-doc covered-position union: the dup starts collect into one
+         sorted int array per doc (bounded by the doc's own token count),
+         then a single JVM-codegen expression expands them to covered
+         positions and filters the let-bound token array.  Per-doc cost is
+         O(n_tokens * n_dup_windows) in the worst (fully duplicated) doc —
+         n is page-scale (thousands), never corpus-scale, so this stays a
+         map-side expression; the reassembly join is doc_id-keyed like the
+         input, so a bucketed-by-doc_id table reuses its layout.
+
+    Output per input doc: ``doc_id``, ``text_despanned`` (NULL iff the doc
+    has no tokens; ``''`` iff every token was covered), ``n_kept``,
+    ``n_dropped`` (token counts).  Text is reassembled from the SHARED
+    tokenizer's normalized tokens (texthash.tokens_spark), like
+    ``dedup_repeated_segments``.  Docs shorter than ``width`` tokens form
+    one whole-doc window (the shingles fallback), so verbatim short-doc
+    copies are still caught.
+    """
+    toks = tokens_spark(text_col)
+    wins = (
+        spread(docs)
+        .select("doc_id", F.expr(shingles_spark(toks, width)).alias("sh"))
+        .select("doc_id", F.posexplode("sh").alias("i0", "s"))
+        .filter(F.col("s") != "")  # zero-token docs yield the '' fallback window
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),  # 1-based window start
+            F.expr(h60_spark("s")).alias("h"),
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > int(max_count))
+        .select("h")
+    )
+    starts = (
+        wins.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+    # the reassembly side re-tokenizes (checkpointing the window rows to
+    # share the fold was measured slower for token_surprise — same shape);
+    # spread() so the heavy per-row expr doesn't run at single-file-scan
+    # parallelism (the r5 sf1 lesson)
+    base = spread(docs).select("doc_id", F.expr(toks).alias("tks"))
+    joined = base.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "tks",
+        F.coalesce("starts", F.expr("CAST(array() AS ARRAY<INT>)")).alias("starts"),
+    )
+    # covered = union of [s, min(s+width-1, n)] over dup starts; kept = the
+    # uncovered positions in order.  Computed ONCE as a column (the three
+    # consumers below reference `cov`, not the fragment — HOF expressions
+    # are interpreted, so textual re-inlining would triple the union work).
+    # `sequence` is ASCENDING-safe: the n=0 case is guarded to NULL before
+    # any sequence(1, n) is built.
+    covered = (
+        "array_distinct(flatten(transform(starts, "
+        f"s -> sequence(s, least(s + {int(width)} - 1, size(tks))))))"
+    )
+    return (
+        joined.withColumn("cov", F.expr(covered))
+        .select(
+            "doc_id",
+            F.expr(
+                """CASE WHEN size(tks) = 0 THEN CAST(NULL AS STRING) ELSE
+                  array_join(transform(
+                    filter(sequence(1, size(tks)), p -> NOT array_contains(cov, p)),
+                    p -> element_at(tks, p)), ' ')
+                END"""
+            ).alias("text_despanned"),
+            F.expr("cast(size(tks) - size(cov) as bigint)").alias("n_kept"),
+            F.expr("cast(size(cov) as bigint)").alias("n_dropped"),
+        )
+    )
+
+
 def latest_snapshot(pages: "DataFrame") -> "DataFrame":
     """Keep the newest crawl of each url (a Common-Crawl table carries
     many snapshots per url; extraction wants exactly one).

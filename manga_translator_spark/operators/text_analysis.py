@@ -174,6 +174,67 @@ def gopher_quality(docs: "DataFrame") -> "DataFrame":
     )
 
 
+C4_MIN_WORDS = 5  # C4 drops pages with < 5 words (line rule, doc-level here)
+C4_POLICY_PHRASES = (  # RefinedWeb/FineWeb boilerplate-policy substrings
+    "cookie policy",
+    "privacy policy",
+    "terms of use",
+    "uses cookies",
+)
+C4_BLOCK_PHRASES = ("lorem ipsum",)  # placeholder-text page drop
+
+
+def c4_rules(
+    docs: "DataFrame",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] = (),
+) -> "DataFrame":
+    """C4-family heuristic page filters (Raffel et al. 2020 §2.2 + the
+    RefinedWeb/FineWeb variants), doc-level: flag pages containing a curly
+    brace (code), "lorem ipsum" placeholder text, the token "javascript"
+    (C4's script-garbage line rule), cookie/terms policy boilerplate, a
+    blocklisted word, or fewer than ``C4_MIN_WORDS`` words — ``keep=1``
+    iff no rule fires.  The complement of the Gopher STATISTICAL gate:
+    these are exact-substring rules, so together they cover both filter
+    families a curation pipeline layers.
+
+    All flags are 0/1 integers from case-folded substring/token tests —
+    pure codegen column ops, zero shuffle at any scale, and twin-exact by
+    construction.  ``blocklist`` entries are matched as whole TOKENS (the
+    C4 bad-word rule is word-level; substring matching would flag
+    innocents — the classic 'scunthorpe' failure).
+    """
+    for wd in blocklist:
+        if "'" in wd or " " in wd:
+            raise ValueError(f"blocklist entries are single tokens, got {wd!r}")
+    toks = tokens_spark(text_col)
+    low = f"lower(coalesce({text_col}, ''))"
+    policy = " OR ".join(f"contains({low}, '{p}')" for p in C4_POLICY_PHRASES)
+    lorem = " OR ".join(f"contains({low}, '{p}')" for p in C4_BLOCK_PHRASES)
+    d = docs.select("doc_id", F.expr(toks).alias("tokens"), F.col(text_col))
+    if blocklist:
+        arr = ", ".join(f"'{w.lower()}'" for w in sorted(blocklist))
+        blocked = f"size(filter(tokens, t -> array_contains(array({arr}), t))) > 0"
+    else:
+        blocked = "FALSE"
+    return d.select(
+        "doc_id",
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(contains(coalesce({text_col}, ''), '{{') AS INT)").alias("has_brace"),
+        F.expr(f"CAST(({lorem}) AS INT)").alias("has_lorem"),
+        F.expr("CAST(array_contains(tokens, 'javascript') AS INT)").alias("has_js"),
+        F.expr(f"CAST(({policy}) AS INT)").alias("has_policy"),
+        F.expr(f"CAST(({blocked}) AS INT)").alias("has_blocked"),
+        F.expr(f"CAST(size(tokens) < {C4_MIN_WORDS} AS INT)").alias("too_short"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "CAST(has_brace + has_lorem + has_js + has_policy"
+            " + has_blocked + too_short = 0 AS INT)"
+        ),
+    )
+
+
 def fingerprint(docs: "DataFrame") -> "DataFrame":
     """Document fingerprinting: full-text md5 + min-token-hash (a 1-perm
     minhash — the rolling-hash fingerprint of SURVEY-era pipelines)."""

@@ -233,6 +233,27 @@ def _operator_arg_schemas() -> dict:
                 "coarse quantizer: first | kmeans (sampled Lloyd) | prebuilt table",
             ),
         },
+        "dedup.dedup_duplicate_spans": {
+            "width": a(
+                "int", dedup.SPAN_W,
+                "overlapping window width (50 = ExactSubstr published standard)",
+            ),
+            "max_count": a(
+                "int", dedup.SPAN_MAX_COUNT,
+                "corpus occurrence ceiling — windows above it are duplicated spans",
+            ),
+        },
+        "curation.dsir_scores": {
+            "n_buckets": a(
+                "int", curation.DSIR_BUCKETS,
+                "hashed feature space — bounds the weight table (broadcast-safe)",
+            ),
+        },
+        "text_analysis.c4_rules": {
+            "blocklist": a(
+                "tuple[str,...]", (), "token-level bad-word list (whole-token match)"
+            ),
+        },
     }
 
 
