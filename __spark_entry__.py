@@ -866,6 +866,30 @@ def _q_dsir_scores(spark, sf):
     return curation.dsir_scores(docs, target)
 
 
+# the recipe's decontam width: the C4-clean survivor slice (doc_id%8==7)
+# never shares a 4-gram with the bench split (measured 0/61 at sf0.01 —
+# decontam would be vacuous at DECONTAM_QW=4), but 27/61 share a 3-gram:
+# the stage fires without emptying the funnel.  decontam_overlap keeps
+# w=4 over the full split where 4-grams do collide.
+RECIPE_QW = 3
+
+
+def _q_curation_recipe(spark, sf):
+    """The composed C4 -> Gopher -> exact-dedup -> decontaminate ->
+    stratified-sample audit table, over the C4-injected corpus (so the
+    rule stage is non-vacuous) split on the decontam eval modulus."""
+    from manga_translator_spark.operators.training import curate_corpus
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.expr(_C4_INJECT_SPARK).alias("text"), "lang"
+    )
+    univ = docs.filter(F.expr(f"doc_id % {DECONTAM_BENCH_MOD} != 0"))
+    bench = docs.filter(F.expr(f"doc_id % {DECONTAM_BENCH_MOD} = 0"))
+    return curate_corpus(
+        univ, bench, SAMPLE_RATES, blocklist=(_C4_BLOCKWORD,), w=RECIPE_QW
+    )
+
+
 def _q_ann_cosine(spark, sf):
     return similarity.cosine_topk(_t(spark, sf, "embeddings"))
 
@@ -1013,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "dsir_scores": _q_dsir_scores,
         "c4_filters": _q_c4_filters,
+        "curation_recipe": _q_curation_recipe,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_bucket_stats": _q_ann_lsh_stats,
         "ann_in_bucket_topk": _q_ann_in_bucket,
@@ -1843,32 +1868,103 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # C4 heuristic rules (text_analysis.c4_rules) over the injected
-    # payloads; the phrase lists come from the operator's constants so the
-    # two sides cannot drift.
-    _c4_pol = " OR ".join(
-        f"contains(low, '{p}')" for p in text_analysis.C4_POLICY_PHRASES
-    )
-    _c4_lor = " OR ".join(
-        f"contains(low, '{p}')" for p in text_analysis.C4_BLOCK_PHRASES
+    # payloads; the phrase lists come from the operator's constants and the
+    # per-rule fragments are shared with the curation_recipe twin below, so
+    # the sides (and the two twins) cannot drift.
+    def _c4_frags_duck(tokens: str, text: str) -> dict:
+        low = f"lower(coalesce({text}, ''))"
+        lor = " OR ".join(
+            f"contains({low}, '{p}')" for p in text_analysis.C4_BLOCK_PHRASES
+        )
+        pol = " OR ".join(
+            f"contains({low}, '{p}')" for p in text_analysis.C4_POLICY_PHRASES
+        )
+        return {
+            "has_brace": f"contains(coalesce({text}, ''), '{{')",
+            "has_lorem": f"({lor})",
+            "has_js": f"list_contains({tokens}, 'javascript')",
+            "has_policy": f"({pol})",
+            "has_blocked": f"list_contains({tokens}, '{_C4_BLOCKWORD}')",
+            "too_short": f"len({tokens}) < {text_analysis.C4_MIN_WORDS}",
+        }
+
+    _c4f = _c4_frags_duck("tokens", "text")
+    _c4_flag_cols = ",\n          ".join(
+        f"CASE WHEN {e} THEN 1 ELSE 0 END AS {k}" for k, e in _c4f.items()
     )
     sql["c4_filters"] = f"""
       WITH injected AS (SELECT doc_id, {_C4_INJECT_DUCK} AS text FROM documents),
-      tok AS (SELECT doc_id, text, lower(coalesce(text, '')) AS low,
-                     {_TOKS} AS tokens FROM injected),
+      tok AS (SELECT doc_id, text, {_TOKS} AS tokens FROM injected),
       flags AS (
         SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
-          CASE WHEN contains(coalesce(text, ''), '{{') THEN 1 ELSE 0 END AS has_brace,
-          CASE WHEN {_c4_lor} THEN 1 ELSE 0 END AS has_lorem,
-          CASE WHEN list_contains(tokens, 'javascript') THEN 1 ELSE 0 END AS has_js,
-          CASE WHEN {_c4_pol} THEN 1 ELSE 0 END AS has_policy,
-          CASE WHEN list_contains(tokens, '{_C4_BLOCKWORD}') THEN 1 ELSE 0 END AS has_blocked,
-          CASE WHEN len(tokens) < {text_analysis.C4_MIN_WORDS} THEN 1 ELSE 0 END AS too_short
+          {_c4_flag_cols}
         FROM tok
       )
-      SELECT *, CASE WHEN has_brace + has_lorem + has_js + has_policy
-                          + has_blocked + too_short = 0
+      SELECT *, CASE WHEN {' + '.join(_c4f)} = 0
                      THEN 1 ELSE 0 END AS keep
       FROM flags
+    """
+
+    # Composed curation recipe (training.curate_corpus): the C4 keep bool
+    # is NOT(any shared fragment); the Gopher stage reuses _gopher_select
+    # verbatim; dedup/decontam/sampling stages re-derive the same hashes
+    # over the same filtered subsets (training_corpus twin discipline).
+    _c4_keep_bool = "NOT (" + " OR ".join(_c4f.values()) + ")"
+    _rec_ng = (
+        f"list_filter(list_distinct({shingles_duck('tokens', RECIPE_QW)}), "
+        "s -> s != '')"
+    )
+    _rec_skey = f"concat('{curation.SAMPLE_SALT}', cast(doc_id AS VARCHAR))"
+    sql["curation_recipe"] = f"""
+      WITH injected AS (SELECT doc_id, {_C4_INJECT_DUCK} AS text, lang
+                        FROM documents),
+      univ AS (SELECT * FROM injected WHERE doc_id % {DECONTAM_BENCH_MOD} != 0),
+      gq AS ({_gopher_select('univ')}),
+      flags AS (
+        SELECT u.doc_id, u.text, u.lang,
+               CASE WHEN {_c4_keep_bool} THEN 1 ELSE 0 END AS c4_keep,
+               g.keep AS gopher_keep
+        FROM (SELECT doc_id, text, lang, {_TOKS} AS tokens FROM univ) u
+        JOIN gq g USING (doc_id)
+      ),
+      kept AS (SELECT doc_id, text, lang FROM flags
+               WHERE c4_keep = 1 AND gopher_keep = 1),
+      canon AS (SELECT doc_id,
+                  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                       THEN 1 ELSE 0 END AS canonical
+                FROM kept),
+      canond AS (SELECT k.doc_id, k.text, k.lang
+                 FROM kept k JOIN canon c USING (doc_id) WHERE c.canonical = 1),
+      bng AS (SELECT DISTINCT {h60_duck('s')} AS h
+              FROM (SELECT unnest(ng) AS s
+                    FROM (SELECT {_rec_ng} AS ng
+                          FROM (SELECT {_TOKS} AS tokens FROM injected
+                                WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)))),
+      tng AS (SELECT DISTINCT doc_id, {h60_duck('s')} AS h
+              FROM (SELECT doc_id, unnest(ng) AS s
+                    FROM (SELECT doc_id, {_rec_ng} AS ng
+                          FROM (SELECT doc_id, {_TOKS} AS tokens FROM canond)))),
+      cont AS (SELECT DISTINCT t.doc_id FROM tng t JOIN bng USING (h)),
+      samp AS (SELECT doc_id
+               FROM (SELECT doc_id, lang,
+                            {h60_duck(_rec_skey)} % {curation.SAMPLE_MOD} AS bucket
+                     FROM canond
+                     WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+               WHERE bucket < ({_rate_case}))
+      SELECT f.doc_id, f.c4_keep, f.gopher_keep, c.canonical,
+        (CASE WHEN c.canonical = 1
+              THEN (CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) END)::INT
+          AS contaminated,
+        (CASE WHEN c.canonical = 1 AND ct.doc_id IS NULL
+              THEN (CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) END)::INT
+          AS sampled,
+        coalesce(CASE WHEN c.canonical = 1 AND ct.doc_id IS NULL
+                      THEN (CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) END,
+                 0)::INT AS keep
+      FROM flags f
+      LEFT JOIN canon c USING (doc_id)
+      LEFT JOIN cont ct USING (doc_id)
+      LEFT JOIN samp s USING (doc_id)
     """
 
     # connected components over the LSH pair graph as a recursive closure;

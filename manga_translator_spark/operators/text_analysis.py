@@ -184,6 +184,34 @@ C4_POLICY_PHRASES = (  # RefinedWeb/FineWeb boilerplate-policy substrings
 C4_BLOCK_PHRASES = ("lorem ipsum",)  # placeholder-text page drop
 
 
+def _c4_rule_exprs(
+    tks: str, text_col: str, blocklist: tuple[str, ...]
+) -> dict[str, str]:
+    """Each C4 rule as one boolean SQL fragment over a BOUND token-array
+    variable ``tks`` — shared by :func:`c4_rules` (flag columns) and
+    :func:`c4_keep_condition` (one pushdown predicate), so the two forms
+    cannot drift (the _gopher_body discipline)."""
+    for wd in blocklist:
+        if "'" in wd or " " in wd:
+            raise ValueError(f"blocklist entries are single tokens, got {wd!r}")
+    low = f"lower(coalesce({text_col}, ''))"
+    policy = " OR ".join(f"contains({low}, '{p}')" for p in C4_POLICY_PHRASES)
+    lorem = " OR ".join(f"contains({low}, '{p}')" for p in C4_BLOCK_PHRASES)
+    if blocklist:
+        arr = ", ".join(f"'{w.lower()}'" for w in sorted(blocklist))
+        blocked = f"size(filter({tks}, t -> array_contains(array({arr}), t))) > 0"
+    else:
+        blocked = "FALSE"
+    return {
+        "has_brace": f"contains(coalesce({text_col}, ''), '{{')",
+        "has_lorem": f"({lorem})",
+        "has_js": f"array_contains({tks}, 'javascript')",
+        "has_policy": f"({policy})",
+        "has_blocked": f"({blocked})",
+        "too_short": f"size({tks}) < {C4_MIN_WORDS}",
+    }
+
+
 def c4_rules(
     docs: "DataFrame",
     text_col: str = "text",
@@ -204,34 +232,31 @@ def c4_rules(
     C4 bad-word rule is word-level; substring matching would flag
     innocents — the classic 'scunthorpe' failure).
     """
-    for wd in blocklist:
-        if "'" in wd or " " in wd:
-            raise ValueError(f"blocklist entries are single tokens, got {wd!r}")
-    toks = tokens_spark(text_col)
-    low = f"lower(coalesce({text_col}, ''))"
-    policy = " OR ".join(f"contains({low}, '{p}')" for p in C4_POLICY_PHRASES)
-    lorem = " OR ".join(f"contains({low}, '{p}')" for p in C4_BLOCK_PHRASES)
-    d = docs.select("doc_id", F.expr(toks).alias("tokens"), F.col(text_col))
-    if blocklist:
-        arr = ", ".join(f"'{w.lower()}'" for w in sorted(blocklist))
-        blocked = f"size(filter(tokens, t -> array_contains(array({arr}), t))) > 0"
-    else:
-        blocked = "FALSE"
+    rules = _c4_rule_exprs("tokens", text_col, blocklist)
+    d = docs.select(
+        "doc_id", F.expr(tokens_spark(text_col)).alias("tokens"), F.col(text_col)
+    )
     return d.select(
         "doc_id",
         F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
-        F.expr(f"CAST(contains(coalesce({text_col}, ''), '{{') AS INT)").alias("has_brace"),
-        F.expr(f"CAST(({lorem}) AS INT)").alias("has_lorem"),
-        F.expr("CAST(array_contains(tokens, 'javascript') AS INT)").alias("has_js"),
-        F.expr(f"CAST(({policy}) AS INT)").alias("has_policy"),
-        F.expr(f"CAST(({blocked}) AS INT)").alias("has_blocked"),
-        F.expr(f"CAST(size(tokens) < {C4_MIN_WORDS} AS INT)").alias("too_short"),
+        *[F.expr(f"CAST({e} AS INT)").alias(k) for k, e in rules.items()],
     ).withColumn(
         "keep",
-        F.expr(
-            "CAST(has_brace + has_lorem + has_js + has_policy"
-            " + has_blocked + too_short = 0 AS INT)"
-        ),
+        F.expr(f"CAST({' + '.join(rules)} = 0 AS INT)"),
+    )
+
+
+def c4_keep_condition(
+    text_col: str = "text", blocklist: tuple[str, ...] = ()
+) -> "F.Column":
+    """The C4 keep verdict as ONE boolean column over ``text_col`` — the
+    filter-pushdown form of :func:`c4_rules` (same fragments via
+    ``_c4_rule_exprs``; equality is tested).  Tokenization is let-bound
+    via the single-element ``transform`` idiom (texthash.py rule)."""
+    rules = _c4_rule_exprs("tokens", text_col, blocklist)
+    body = "NOT (" + " OR ".join(rules.values()) + ")"
+    return F.expr(
+        f"element_at(transform(array({tokens_spark(text_col)}), tokens -> {body}), 1)"
     )
 
 

@@ -212,3 +212,137 @@ def test_c4_rules_blocklist_validation(spark):
         text_analysis.c4_rules(df, blocklist=("two words",))
     with pytest.raises(ValueError):
         text_analysis.c4_rules(df, blocklist=("qu'ote",))
+
+
+# ---------------------------------------------------------------------------
+# c4_keep_condition == c4_rules.keep, and the composed curation recipe
+# ---------------------------------------------------------------------------
+
+
+def test_c4_condition_equals_flags(spark, span_pdf, span_df):
+    flags = {
+        r["doc_id"]: r["keep"]
+        for r in text_analysis.c4_rules(span_df, blocklist=("bravo",)).collect()
+    }
+    cond = {
+        r["doc_id"]: int(r["k"])
+        for r in span_df.select(
+            "doc_id",
+            text_analysis.c4_keep_condition(blocklist=("bravo",)).alias("k"),
+        ).collect()
+    }
+    assert cond == flags
+    assert set(flags.values()) == {0, 1}  # the blocklist word actually fires
+
+
+def _c4_keep_ref(text: str, blocklist: tuple) -> int:
+    tt, low = _tokens(text), (text or "").lower()
+    if "{" in (text or ""):
+        return 0
+    if any(p in low for p in text_analysis.C4_BLOCK_PHRASES):
+        return 0
+    if "javascript" in tt:
+        return 0
+    if any(p in low for p in text_analysis.C4_POLICY_PHRASES):
+        return 0
+    if any(b in tt for b in blocklist):
+        return 0
+    if len(tt) < text_analysis.C4_MIN_WORDS:
+        return 0
+    return 1
+
+
+def _gopher_keep_ref(text: str) -> int:
+    ta = text_analysis
+    tt, n = _tokens(text), len(_tokens(text))
+    if not (ta.GOPHER_MIN_WORDS <= n <= ta.GOPHER_MAX_WORDS) or n == 0:
+        return 0
+    s = sum(len(t) for t in tt)
+    if not (ta.GOPHER_MIN_MEAN_WORD_LEN * n <= s <= ta.GOPHER_MAX_MEAN_WORD_LEN * n):
+        return 0
+    if 100 * sum(text.count(c) for c in "#…") > ta.GOPHER_MAX_SYMBOL_RATIO_PCT * max(n, 1):
+        return 0
+    stops = set().union(*ta.STOPWORDS.values())
+    if sum(1 for t in tt if t in stops) < ta.GOPHER_MIN_STOPWORD_HITS:
+        return 0
+    return 1
+
+
+def _ngrams_ref(text: str, w: int) -> set:
+    tt = _tokens(text)
+    if not tt:
+        return set()
+    if len(tt) < w:
+        return {" ".join(tt)}
+    return {" ".join(tt[i : i + w]) for i in range(len(tt) - w + 1)}
+
+
+@pytest.fixture(scope="module")
+def recipe_pdf():
+    """Every recipe stage must fire: c4-tripping docs, gopher-failing
+    (short) docs, an exact-dup pair, bench-contaminated docs, and strata
+    with rates 1000/0/partial."""
+    base = ("the quick brown fox jumps over a lazy dog and then runs far "
+            "away to find some more food now")  # 20 tokens, has stopwords
+    rows = []
+    for i in range(30):
+        text = f"{base} extra{i}"
+        lang = ["en", "de", "fr"][i % 3]
+        if i % 10 == 3:
+            text += " lorem ipsum"          # c4 drop
+        if i % 10 == 4:
+            text = "way too short"          # gopher (and c4) drop
+        if i in (7, 17):
+            text = f"{base} duplicated"     # exact-dup pair: 17 loses to 7
+        if i % 10 == 8:
+            text += " planted bench overlap run"  # contaminated (see bench)
+        rows.append({"doc_id": i, "text": text, "lang": lang})
+    return pd.DataFrame(rows)
+
+
+def test_curate_corpus_matches_reference(spark, recipe_pdf):
+    from manga_translator_spark.operators.training import curate_corpus
+
+    w, rates, bl = 3, {"en": 1000, "de": 0, "fr": 500}, ()
+    bench_texts = ["the planted bench overlap run appears here"]
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000], "text": bench_texts, "lang": ["en"]})
+    )
+    df = spark.createDataFrame(recipe_pdf)
+    got = {
+        r["doc_id"]: (
+            r["c4_keep"], r["gopher_keep"], r["canonical"],
+            r["contaminated"], r["sampled"], r["keep"],
+        )
+        for r in curate_corpus(df, bench, rates, blocklist=bl, w=w).collect()
+    }
+    # independent reference
+    texts = dict(zip(recipe_pdf["doc_id"], recipe_pdf["text"]))
+    langs = dict(zip(recipe_pdf["doc_id"], recipe_pdf["lang"]))
+    c4k = {d: _c4_keep_ref(t, bl) for d, t in texts.items()}
+    gk = {d: _gopher_keep_ref(t) for d, t in texts.items()}
+    kept = [d for d in texts if c4k[d] and gk[d]]
+    bydig = {}
+    for d in kept:
+        bydig.setdefault(hashlib.md5(texts[d].encode()).hexdigest(), []).append(d)
+    canonical = {d: int(d == min(g)) for g in bydig.values() for d in g}
+    bg = set().union(*(_ngrams_ref(t, w) for t in bench_texts))
+    cont = {d: int(bool(_ngrams_ref(texts[d], w) & bg))
+            for d in kept if canonical[d]}
+    samp = {
+        d: int(_h60(f"sample:{d}") % 1000 < rates.get(langs[d], 0))
+        for d, c in cont.items() if c == 0
+    }
+    expected = {}
+    for d in texts:
+        canon = canonical.get(d) if d in kept else None
+        ct = cont.get(d) if canon == 1 else None
+        sp = samp.get(d) if ct == 0 else None
+        expected[d] = (c4k[d], gk[d], canon, ct, sp, sp if sp is not None else 0)
+    assert got == expected
+    # every stage fired in the fixture
+    vals = list(zip(*got.values()))
+    assert 0 in vals[0] and 0 in vals[1]                       # gates drop
+    assert 0 in [v for v in vals[2] if v is not None]          # a dup lost
+    assert 1 in [v for v in vals[3] if v is not None]          # contamination
+    assert {0, 1} <= {v for v in vals[4] if v is not None}     # sampling split
