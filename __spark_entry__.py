@@ -37,7 +37,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
+_PKG_ARCHIVE: str | None = None
+
+
+def _pkg_archive() -> str:
+    """Build the package zip ONCE per process.  Re-zipping per call is a
+    latent crash: a second ``addPyFile`` of the same FILENAME with
+    different bytes (e.g. the source tree was edited between two sessions
+    of one long-running process) fails JVM-side with "exists and does not
+    match contents" — one archive per process makes every re-add
+    byte-identical, which Spark treats as a no-op."""
+    global _PKG_ARCHIVE
+    if _PKG_ARCHIVE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "manga_translator_spark"
+        )
+        staging = tempfile.mkdtemp(prefix="mts_pyfiles_")
+        zip_base = os.path.join(staging, "manga_translator_spark_pkg")
+        _PKG_ARCHIVE = shutil.make_archive(
+            zip_base, "zip",
+            root_dir=os.path.dirname(pkg_dir), base_dir="manga_translator_spark",
+        )
+        # cleanup at process exit, NOT immediately: executors fetch (and on
+        # later stages re-verify) the dependency from THIS path — deleting
+        # it eagerly made a second session's re-ship fail with "exists and
+        # does not match contents" (empirically; the zip must outlive the
+        # contexts)
+        atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    return _PKG_ARCHIVE
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -47,26 +79,14 @@ def _ensure_shipped(spark: SparkSession) -> None:
     inherit neither the driver's sys.path mutations nor its cwd — a session
     created outside /root/repo fails to unpickle the mapInPandas closures.
     Shipping a zip via addPyFile is the same mechanism scripts/submit.sh
-    uses (--py-files) and is idempotent per session.
+    uses (--py-files) and is idempotent per session.  Keyed by
+    ``applicationId`` (stable per JVM context), not ``id()`` of the Python
+    wrapper — distinct wrapper objects for one context must not re-ship.
     """
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
-    import shutil
-    import tempfile
-
-    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "manga_translator_spark")
-    staging = tempfile.mkdtemp(prefix="mts_pyfiles_")
-    zip_base = os.path.join(staging, "manga_translator_spark_pkg")
-    archive = shutil.make_archive(zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="manga_translator_spark")
-    spark.sparkContext.addPyFile(archive)
-    # cleanup at process exit, NOT immediately: executors fetch (and on
-    # later stages re-verify) the dependency from THIS path — deleting it
-    # eagerly made a second session's re-ship fail with "exists and does
-    # not match contents" (empirically; the zip must outlive the contexts)
-    import atexit
-
-    atexit.register(shutil.rmtree, staging, ignore_errors=True)
+    spark.sparkContext.addPyFile(_pkg_archive())
     _SHIPPED.add(key)
 
 

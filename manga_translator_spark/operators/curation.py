@@ -195,6 +195,8 @@ def dsir_scores(
     ``n_feats`` = feature occurrences (n_tokens + n_bigrams),
     ``score_ppm`` NULL iff the doc has no tokens.
     """
+    if n_buckets < 1:
+        raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
     feats_train = _dsir_feature_rows(train, text_col, n_buckets)
     feats_target = _dsir_feature_rows(target, text_col, n_buckets)
     raw_cnt = feats_train.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))

@@ -459,6 +459,8 @@ def dedup_duplicate_spans(
     one whole-doc window (the shingles fallback), so verbatim short-doc
     copies are still caught.
     """
+    if width < 1 or max_count < 0:
+        raise ValueError(f"need width >= 1 and max_count >= 0, got {width}/{max_count}")
     toks = tokens_spark(text_col)
     wins = (
         spread(docs)
