@@ -1832,7 +1832,9 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB; the coalesce restores Spark's '' for fully-covered docs).
     _sp_sh = shingles_duck("tokens", SPAN_Q_W)
     sql["dedup_spans"] = f"""
-      WITH tok AS (SELECT doc_id, {_TOKS} AS tokens FROM documents),
+      WITH tok AS (SELECT doc_id,
+                          coalesce({_TOKS}, []::VARCHAR[]) AS tokens
+                   FROM documents),
       wins AS (
         SELECT doc_id, i, {h60_duck('s')} AS h
         FROM (SELECT doc_id, unnest(sh) AS s,
@@ -1914,7 +1916,9 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["c4_filters"] = f"""
       WITH injected AS (SELECT doc_id, {_C4_INJECT_DUCK} AS text FROM documents),
-      tok AS (SELECT doc_id, text, {_TOKS} AS tokens FROM injected),
+      tok AS (SELECT doc_id, text,
+                     coalesce({_TOKS}, []::VARCHAR[]) AS tokens
+              FROM injected),
       flags AS (
         SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
           {_c4_flag_cols}
@@ -1944,7 +1948,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT u.doc_id, u.text, u.lang,
                CASE WHEN {_c4_keep_bool} THEN 1 ELSE 0 END AS c4_keep,
                g.keep AS gopher_keep
-        FROM (SELECT doc_id, text, lang, {_TOKS} AS tokens FROM univ) u
+        FROM (SELECT doc_id, text, lang,
+                     coalesce({_TOKS}, []::VARCHAR[]) AS tokens FROM univ) u
         JOIN gq g USING (doc_id)
       ),
       kept AS (SELECT doc_id, text, lang FROM flags

@@ -488,7 +488,13 @@ def dedup_duplicate_spans(
     # share the fold was measured slower for token_surprise — same shape);
     # spread() so the heavy per-row expr doesn't run at single-file-scan
     # parallelism (the r5 sf1 lesson)
-    base = spread(docs).select("doc_id", F.expr(toks).alias("tks"))
+    # NULL text = zero tokens (tokenizer yields NULL; without the coalesce
+    # the guarded CASE falls through to the ELSE branch over NULL and every
+    # output column goes NULL while the twin disagrees)
+    base = spread(docs).select(
+        "doc_id",
+        F.expr(f"coalesce({toks}, CAST(array() AS ARRAY<STRING>))").alias("tks"),
+    )
     joined = base.join(starts, "doc_id", "left").select(
         "doc_id",
         "tks",

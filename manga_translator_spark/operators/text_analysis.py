@@ -233,8 +233,15 @@ def c4_rules(
     innocents — the classic 'scunthorpe' failure).
     """
     rules = _c4_rule_exprs("tokens", text_col, blocklist)
+    # NULL text = zero tokens (the tokenizer yields NULL, which would turn
+    # every token-rule flag and the keep sum NULL — and the DuckDB twin's
+    # CASE would disagree); the span-dedup/DSIR operators share this contract
     d = docs.select(
-        "doc_id", F.expr(tokens_spark(text_col)).alias("tokens"), F.col(text_col)
+        "doc_id",
+        F.expr(
+            f"coalesce({tokens_spark(text_col)}, CAST(array() AS ARRAY<STRING>))"
+        ).alias("tokens"),
+        F.col(text_col),
     )
     return d.select(
         "doc_id",
@@ -255,9 +262,8 @@ def c4_keep_condition(
     via the single-element ``transform`` idiom (texthash.py rule)."""
     rules = _c4_rule_exprs("tokens", text_col, blocklist)
     body = "NOT (" + " OR ".join(rules.values()) + ")"
-    return F.expr(
-        f"element_at(transform(array({tokens_spark(text_col)}), tokens -> {body}), 1)"
-    )
+    toks = f"coalesce({tokens_spark(text_col)}, CAST(array() AS ARRAY<STRING>))"
+    return F.expr(f"element_at(transform(array({toks}), tokens -> {body}), 1)")
 
 
 def fingerprint(docs: "DataFrame") -> "DataFrame":

@@ -123,7 +123,12 @@ def curate_corpus(
         .select(
             "doc_id",
             c4_keep_condition(text_col, blocklist).cast("int").alias("c4_keep"),
-            gopher_keep_condition(text_col).cast("int").alias("gopher_keep"),
+            # NULL text makes the gopher condition NULL (it can never pass:
+            # zero tokens < min words); pin it to 0 so the audit flag is
+            # total and the DuckDB twin's CASE agrees
+            F.coalesce(
+                gopher_keep_condition(text_col).cast("int"), F.lit(0)
+            ).alias("gopher_keep"),
         )
         .localCheckpoint(eager=False)
     )

@@ -47,6 +47,7 @@ def span_pdf():
     rows.append({"doc_id": 41, "text": "one two three"})  # < w: whole-doc window
     rows.append({"doc_id": 42, "text": "one two three"})  # its copy -> ''
     rows.append({"doc_id": 43, "text": _DUP_RUN})         # fully duplicated -> ''
+    rows.append({"doc_id": 44, "text": None})             # NULL text == no tokens
     return pd.DataFrame(rows)
 
 
@@ -91,6 +92,7 @@ def test_dedup_spans_matches_reference(spark, span_pdf, span_df):
     # the fixture exercises every contract branch: untouched docs, partial
     # coverage, the NULL row, and both ''-yielding shapes
     assert got[40] == (None, 0, 0)
+    assert got[44] == (None, 0, 0)        # NULL text == zero tokens
     assert got[42] == ("", 0, 3)          # short-doc verbatim copy
     assert got[43] == ("", 0, 10)         # fully duplicated long doc
     assert got[1][2] == 0 and got[1][0]   # a clean doc survives intact
@@ -192,6 +194,7 @@ def test_c4_rules_flags(spark):
         (7, "spamwordy is a different token entirely ok", 0, 0, 0, 0, 0, 0, 1),
         (8, "too short", 0, 0, 0, 0, 0, 1, 0),
         (9, "", 0, 0, 0, 0, 0, 1, 0),
+        (10, None, 0, 0, 0, 0, 0, 1, 0),  # NULL text == zero tokens
     ]
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
@@ -297,6 +300,7 @@ def recipe_pdf():
         if i % 10 == 8:
             text += " planted bench overlap run"  # contaminated (see bench)
         rows.append({"doc_id": i, "text": text, "lang": lang})
+    rows.append({"doc_id": 30, "text": None, "lang": "en"})  # NULL text
     return pd.DataFrame(rows)
 
 
