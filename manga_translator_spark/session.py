@@ -51,6 +51,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # InferFiltersFromGenerate rewrites every explode(expensive_expr)
+        # into Filter(size(expensive_expr)>0 AND isnotnull(expensive_expr))
+        # + Generate — and the filter's predicate re-inlines the WHOLE
+        # generator expression twice more per row (HOF exprs are
+        # interpreted and get no subexpression elimination in FilterExec).
+        # For this engine's explode-heavy operators the "pruning" filter
+        # tripled the dominant tokenize/shingle/hash cost: token_surprise
+        # ran the tokenizer fold 6x per doc instead of 2x (plans/r06/
+        # token_surprise_before.txt nodes 2/8), decontaminate its w-gram
+        # chain 3x per side.  The rows it prunes are exactly the rows
+        # explode drops anyway, so removing the rule changes no result.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
