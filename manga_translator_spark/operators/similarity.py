@@ -536,6 +536,63 @@ def ann_ivf_topk(
 SEMDEDUP_THRESHOLD = 0.95
 
 
+def _seq_dot64(a, b):
+    """The EXACT value of the Spark fold ``aggregate(zip_with(a, b,
+    (x,y) -> double(x)*double(y)), 0D, (acc,v) -> acc+v)``: left-to-right
+    float64 accumulation.  Used only for boundary-suspect pairs — the
+    fast path is a matmul whose pairwise summation differs by ulps."""
+    acc = 0.0
+    for k in range(len(a)):
+        acc += float(a[k]) * float(b[k])
+    return acc
+
+
+def _round4_spark_exact(v: float) -> float:
+    """Bit-exact replica of Spark SQL ``round(v, 4)`` on DOUBLE:
+    BigDecimal.valueOf(v) (= the shortest round-trip decimal, identical
+    to Python ``repr``) .setScale(4, HALF_UP).toDouble."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    v = float(v)
+    if math.isnan(v) or math.isinf(v):
+        return v
+    return float(Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _ge_threshold_boundary(threshold: float) -> float:
+    """The double b such that ``round4(c) >= threshold``  ⟺  ``c >= b``
+    for every double c (with round4 = Spark's decimal HALF_UP rounding):
+    the decimal ``threshold - 0.00005`` boundary.  Shortest-round-trip
+    decimals preserve order, and no double lies strictly between the
+    exact decimal boundary and its nearest double, so one double
+    comparison replicates the rounded comparison exactly — except within
+    float error of b, which callers re-check with the exact chain."""
+    from decimal import Decimal
+
+    return float(Decimal(repr(float(threshold))) - Decimal("0.00005"))
+
+
+def _exact_pair_hit(x, y, threshold: float) -> bool:
+    """round4(cos(x, y)) >= threshold via the exact Spark arithmetic
+    chain (sequential dots, IEEE sqrt/division, decimal rounding).
+    NaN >= t is TRUE in Spark's ordering; +-Inf compare normally."""
+    import math
+
+    nx = math.sqrt(_seq_dot64(x, x))
+    ny = math.sqrt(_seq_dot64(y, y))
+    denom = nx * ny
+    if denom == 0.0:
+        return True  # 0/0 -> NaN, and NaN >= t in Spark/DuckDB ordering
+    c = _seq_dot64(x, y) / denom
+    if math.isnan(c):
+        return True
+    if math.isinf(c):
+        return c > 0
+    return _round4_spark_exact(c) >= threshold
+
+
 def semantic_dedup(
     embeddings: "DataFrame",
     threshold: float = SEMDEDUP_THRESHOLD,
@@ -566,7 +623,23 @@ def semantic_dedup(
     lower-id near-dup shares the cell).  Cosines are rounded to 4
     decimals BEFORE the threshold comparison on both engines, so the
     boundary cannot flip between Spark and the twin.
+
+    Physical shape (r6): the within-cell pair work runs as ONE numpy
+    matmul per cell inside ``groupBy(cell).applyInPandas`` — the guide
+    §4.2 move: only m embedding rows per cell cross Arrow (never the
+    O(m^2) pair set), and the per-pair interpreted HOF dot fold (128
+    lambda evaluations per pair) becomes vectorized BLAS.  Bit-equality
+    with the old JVM plan is preserved by the boundary protocol:
+    ``round4(c) >= t`` is evaluated as one double comparison against the
+    decimal boundary ``t - 0.00005`` (order-exact for every double), and
+    any pair whose fast-path cosine lands within 1e-9 of that boundary —
+    where matmul-vs-sequential summation ulps could flip the verdict —
+    is re-checked with the exact Spark arithmetic chain
+    (:func:`_exact_pair_hit`).  Measured at sf1 local[32]: 14.4 s ->
+    see OPTIMIZATION_r06.md; the DuckDB twin is unchanged.
     """
+    import pandas as pd
+
     embeddings = spread(embeddings)
     if isinstance(centroids, str):
         if centroids == "kmeans":
@@ -575,38 +648,52 @@ def semantic_dedup(
             cent = _ivf_centroids(embeddings, n_cells)
     else:
         cent = centroids
-    assigned = _with_norm(
+    assigned = (
         _ranked_cells(embeddings, cent)
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell")
-        .join(embeddings.select("vec_id", "embedding"), "vec_id"),
-        "embedding",
-        "nrm",
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
     )
-    x = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_x"),
-        F.col("embedding").alias("emb_x"),
-        F.col("nrm").alias("norm_x"),
-    )
-    y = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_y"),
-        F.col("embedding").alias("emb_y"),
-        F.col("nrm").alias("norm_y"),
-    )
-    dropped = (
-        x.join(y, "cell")
-        .filter(F.col("vec_x") > F.col("vec_y"))
-        .filter(_cos_pre("emb_x", "emb_y", "norm_x", "norm_y") >= float(threshold))
-        .select(F.col("vec_x").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
-    )
-    return (
-        assigned.select("vec_id", "cell")
-        .join(dropped, "vec_id", "left")
-        .select("vec_id", "cell", F.col("is_dup").isNull().alias("kept"))
+    thr = float(threshold)
+
+    def cell_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        m = len(pdf)
+        emb = pdf["embedding"].to_numpy()
+        x32 = np.vstack(emb) if m else np.zeros((0, EMB_DIM), dtype=np.float32)
+        x = x32.astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        boundary = _ge_threshold_boundary(thr)
+        dropped = np.zeros(m, dtype=bool)
+        # row blocks bound the pair-matrix memory at ~64 MB
+        blk = max(1, (8 << 20) // max(m, 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(1, m, blk):
+                e = min(m, s + blk)
+                c = (x[s:e] @ x[:e].T) / (nrm[s:e, None] * nrm[None, :e])
+                # strict lower triangle: row i compares against j < i only
+                cols = np.arange(e)
+                mask = cols[None, :] < np.arange(s, e)[:, None]
+                hit = ((c >= boundary) | np.isnan(c)) & mask
+                # boundary suspects: fast-path ulps could flip the verdict
+                sus = (np.abs(c - boundary) < 1e-9) & mask
+                if sus.any():
+                    for i, j in zip(*np.nonzero(sus)):
+                        hit[i, j] = _exact_pair_hit(x[s + i], x[j], thr)
+                dropped[s:e] |= hit.any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": ~dropped,
+            }
+        )
+
+    cell_type = dict(assigned.dtypes)["cell"]
+    return assigned.groupBy("cell").applyInPandas(
+        cell_fn, f"vec_id bigint, cell {cell_type}, kept boolean"
     )
 
 
