@@ -474,10 +474,19 @@ def ann_ivf_topk(
     quadratically-ish at 100x.  Capped queries are re-ranked against the
     centroids directly (<= max_queries x n_cells dots — bounded), which
     also lets external, non-corpus queries probe the index.
+
+    Physical shape (r6, guide 4.2): assignment and the per-candidate
+    cosines run as numpy kernels — ``_assign_cells_pandas`` over the
+    corpus, then ``groupBy(cell).cogroup(probes.groupBy(cell))`` with one
+    BLAS matmul per (cell x its probing queries) block emitting each
+    query's per-cell top-k.  Only member/query embeddings cross Arrow
+    (never the candidate pair set), and the final global rank is a tiny
+    JVM window over <= |Q| * nprobe * k rows.  Rounded-cosine exactness
+    follows the ``_round4_np`` boundary protocol, so results are
+    bit-identical to the r5 JVM plan and the pinned-centroid twin.
     """
-    # spread BEFORE the ranked-cells pass: the n_cells interpreted dots
-    # per corpus row run on the scan's partitioning, so a single-file
-    # bench/test scan would assign the whole corpus on one core
+    import pandas as pd
+
     embeddings = spread(embeddings)
     if isinstance(centroids, str):
         if centroids == "kmeans":
@@ -486,48 +495,82 @@ def ann_ivf_topk(
             cent = _ivf_centroids(embeddings, n_cells)
     else:
         cent = centroids
-    # the ranked centroid table is consumed by BOTH the assignment side and
-    # the probe side: checkpoint it so the n_cells cosine scans run once
-    # (the single-job analogue of materializing the IVF index table, which
-    # is exactly what a 100 TB deployment does between build and query)
-    ranked = _ranked_cells(embeddings, cent).localCheckpoint(eager=False)
-    assigned = _with_norm(
-        ranked.filter(F.col("rn") == 1).select("vec_id", "cell").join(embeddings, "vec_id"),
-        "embedding",
-        "nrm",
-    )
+    assigned = _assign_cells_pandas(embeddings, cent)
+    cells, C = _collect_centroids(cent)
+    cell_type = dict(cent.dtypes)["cell"]
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((cells, C))
     if queries is None:
         queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     q_capped = (
         queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
     )
-    probe_cells = _ranked_cells(q_capped, cent).filter(
-        F.col("rn") <= nprobe
-    ).select(F.col("vec_id").alias("query_id"), "cell")
-    q_sides = _with_norm(q_capped, "embedding", "nrm").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_norm"),
+    n_probe = int(nprobe)
+
+    def probe_fn(batches):
+        import numpy as np
+
+        cells_b, C_b = bc.value
+        cell_arr = np.asarray(cells_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x32 = np.vstack(pdf["embedding"].to_numpy())
+            idx = _rank_cells_np(x32, C_b, n_probe)
+            take = idx.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["vec_id"].to_numpy(), take),
+                    "cell": cell_arr[idx].ravel(),
+                    "q_emb": [e for e in pdf["embedding"] for _ in range(take)],
+                }
+            )
+
+    probes = q_capped.mapInPandas(
+        probe_fn, f"query_id bigint, cell {cell_type}, q_emb array<float>"
     )
-    cands = (
-        probe_cells.join(q_sides, "query_id")
-        .join(
-            assigned.select(
-                "cell",
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("n_emb"),
-                F.col("nrm").alias("n_norm"),
-            ),
-            "cell",
+    k_i = int(k)
+
+    def cell_topk(mem: "pd.DataFrame", qs: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if not len(mem) or not len(qs):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        m32 = np.vstack(mem["embedding"].to_numpy()).astype(np.float64)
+        q32 = np.vstack(qs["q_emb"].to_numpy()).astype(np.float64)
+        nid = mem["vec_id"].to_numpy()
+        qid = qs["query_id"].to_numpy()
+        mn = np.sqrt(np.einsum("ij,ij->i", m32, m32))
+        qn = np.sqrt(np.einsum("ij,ij->i", q32, q32))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q32 @ m32.T) / (qn[:, None] * mn[None, :])
+        r = _round4_np(cos, lambda i, j: _exact_cos_round4(q32[i], m32[j]))
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qid)):
+            valid = nid != qid[i]
+            key = r[i, valid]
+            key = np.where(np.isnan(key), np.inf, key)  # NaN sorts greatest
+            vnid = nid[valid]
+            order = np.lexsort((vnid, -key))[:k_i]
+            out_q.append(np.full(len(order), qid[i]))
+            out_n.append(vnid[order])
+            out_c.append(r[i, valid][order])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
-    pairs = cands.select(
-        "query_id", "neighbor_id", _cos_pre("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim")
+
+    local_topk = assigned.groupBy("cell").cogroup(probes.groupBy("cell")).applyInPandas(
+        cell_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local_topk.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -593,6 +636,104 @@ def _exact_pair_hit(x, y, threshold: float) -> bool:
     return _round4_spark_exact(c) >= threshold
 
 
+def _exact_cos_round4(x, y) -> float:
+    """round4(cos(x, y)) via the exact Spark chain — the per-VALUE form
+    of :func:`_exact_pair_hit`, for kernels that must emit or rank by the
+    rounded cosine itself."""
+    import math
+
+    nx = math.sqrt(_seq_dot64(x, x))
+    ny = math.sqrt(_seq_dot64(y, y))
+    denom = nx * ny
+    c = _seq_dot64(x, y) / denom if denom != 0.0 else float("nan")
+    return _round4_spark_exact(c)
+
+
+def _round4_np(cos, exact_fn):
+    """Vectorized Spark round(·, 4) over a cosine matrix computed by fast
+    BLAS.  floor(v*1e4 + 0.5)/1e4 equals the decimal HALF_UP rounding for
+    every value except within float error of the x.xxxx5 boundaries — and
+    those are exactly the values where fast-path summation ulps could
+    also flip the result — so suspects within 1e-9 of a boundary are
+    recomputed through ``exact_fn(i, j)`` (the exact sequential chain).
+    NaN/Inf pass through unchanged, like Spark's round."""
+    import numpy as np
+
+    scaled = cos * 10000.0
+    r = np.floor(scaled + 0.5) / 10000.0
+    finite = np.isfinite(cos)
+    sus = finite & (np.abs(scaled - np.floor(scaled) - 0.5) < 1e-9)
+    if sus.any():
+        for ij in zip(*np.nonzero(sus)):
+            r[ij] = exact_fn(*ij)
+    return np.where(finite, r, cos)
+
+
+def _collect_centroids(cent: "DataFrame"):
+    """(cells_sorted, C): centroid ids ascending + float64 matrix — the
+    bounded driver-side index for the numpy kernels (n_cells rows; the
+    same boundedness as the PLANES table)."""
+    import numpy as np
+
+    rows = cent.select("cell", "c_emb").collect()
+    rows.sort(key=lambda r: r["cell"])
+    cells = [r["cell"] for r in rows]
+    C = np.array([[float(v) for v in r["c_emb"]] for r in rows], dtype=np.float64)
+    return cells, C
+
+
+def _rank_cells_np(x, C, n_take):
+    """Per row of ``x``: the first ``n_take`` centroid INDICES in Spark's
+    ``(round4(cos) desc, cell asc)`` order (C rows must be cell-ascending;
+    argsort stability supplies the tie rule).  Returns (m, <=n_take)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (x @ C.T) / (xn[:, None] * cn[None, :])
+    r = _round4_np(cos, lambda i, j: _exact_cos_round4(x[i], C[j]))
+    key = np.where(np.isnan(r), np.inf, r)  # Spark: NaN sorts greatest
+    order = np.argsort(-key, axis=1, kind="stable")
+    return order[:, : int(n_take)]
+
+
+def _assign_cells_pandas(embeddings: "DataFrame", cent: "DataFrame") -> "DataFrame":
+    """(vec_id, cell, embedding): the IVF coarse assignment (rn=1 of
+    ``_ranked_cells``) as one numpy pass per Arrow batch — n_cells
+    rounded cosines per row via BLAS instead of interpreted HOF folds,
+    exactness kept by the ``_round4_np`` boundary protocol."""
+    import pandas as pd
+
+    cells, C = _collect_centroids(cent)
+    cell_type = dict(cent.dtypes)["cell"]
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((cells, C))
+
+    def assign_fn(batches):
+        import numpy as np
+
+        cells_b, C_b = bc.value
+        cell_arr = np.asarray(cells_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x32 = np.vstack(pdf["embedding"].to_numpy())
+            idx = _rank_cells_np(x32, C_b, 1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell_arr[idx[:, 0]],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign_fn, f"vec_id bigint, cell {cell_type}, embedding array<float>"
+    )
+
+
 def semantic_dedup(
     embeddings: "DataFrame",
     threshold: float = SEMDEDUP_THRESHOLD,
@@ -648,12 +789,7 @@ def semantic_dedup(
             cent = _ivf_centroids(embeddings, n_cells)
     else:
         cent = centroids
-    assigned = (
-        _ranked_cells(embeddings, cent)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-        .join(embeddings.select("vec_id", "embedding"), "vec_id")
-    )
+    assigned = _assign_cells_pandas(embeddings, cent)
     thr = float(threshold)
 
     def cell_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
