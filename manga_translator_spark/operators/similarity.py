@@ -118,43 +118,80 @@ def cosine_topk(
 
     Output: (query_id, neighbor_id, cos_sim rounded, rank).  Rank ties break
     on neighbor_id so results are unique and oracle-comparable.
+
+    Physical shape (r6, guide 4.2): the bounded query side (an ordered
+    limit of <= max_queries rows — the same boundedness that made the r5
+    broadcast safe) is collected and broadcast as a numpy matrix; the
+    corpus never shuffles.  One ``mapInPandas`` pass computes each Arrow
+    batch's |Q| x batch cosines by BLAS matmul and emits only the batch's
+    local top-k per query (the WindowGroupLimit bound, now enforced in
+    the kernel), so the final JVM rank window sees <= k * n_batches rows
+    per query.  Rounded-cosine exactness follows the ``_round4_np``
+    boundary protocol — output is bit-identical to the r5 broadcast
+    nested-loop plan (the per-pair interpreted HOF fold was ~128 lambda
+    evaluations per pair; measured sf1: 1.97 s -> see
+    OPTIMIZATION_r06.md).
     """
-    # spread: the broadcast nested-loop inherits the CORPUS side's
-    # partitioning, so a single-file scan would run every interpreted
-    # per-pair dot on one core (measured 26.7 s of a 37.6 s sf1 wall on
-    # one task).  At 100 TB the scan is already wide and this no-ops.
+    import pandas as pd
+
     embeddings = spread(embeddings)
-    base = _with_norm(embeddings.select("vec_id", "embedding"), "embedding", "n_norm")
     if queries is None:
         queries = embeddings.select("vec_id", "embedding").filter(
             F.col("vec_id") % query_mod == 0
         )
-    queries = (
-        _with_norm(queries.select("vec_id", "embedding"), "embedding", "n_norm")
-        .orderBy("vec_id")
-        .limit(max_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("n_norm").alias("q_norm"),
-        )
+    q_rows = (
+        queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
+    ).collect()  # bounded by construction: <= max_queries rows
+    import numpy as np
+
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array(
+        [[float(v) for v in r["embedding"]] for r in q_rows], dtype=np.float64
     )
-    pairs = (
-        F.broadcast(queries)
-        .crossJoin(base)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cos_pre("q_emb", "embedding", "q_norm", "n_norm").alias("cos_sim"),
-        )
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat))
+    k_i = int(k)
+
+    def batch_topk(batches):
+        import numpy as np
+
+        qid, Q = bc.value
+        if len(qid) == 0:
+            return
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nid = pdf["vec_id"].to_numpy()
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (Q @ x.T) / (qn[:, None] * xn[None, :])
+            r = _round4_np(cos, lambda i, j: _exact_cos_round4(Q[i], x[j]))
+            out_q, out_n, out_c = [], [], []
+            for i in range(len(qid)):
+                valid = nid != qid[i]
+                key = r[i, valid]
+                key = np.where(np.isnan(key), np.inf, key)  # NaN sorts greatest
+                vnid = nid[valid]
+                order = np.lexsort((vnid, -key))[:k_i]
+                out_q.append(np.full(len(order), qid[i]))
+                out_n.append(vnid[order])
+                out_c.append(r[i, valid][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "cos_sim": np.concatenate(out_c) if out_c else [],
+                }
+            )
+
+    local_topk = embeddings.select("vec_id", "embedding").mapInPandas(
+        batch_topk, "query_id bigint, neighbor_id bigint, cos_sim double"
     )
-    # rank <= k over the pair set: Spark's rank-limit pushdown inserts a
-    # partial WindowGroupLimit BEFORE the exchange, so the shuffle carries
-    # only each partition's local top-k per query (plan-asserted in tests)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local_topk.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
@@ -172,13 +209,48 @@ def lsh_signature_expr(emb: str, planes: list[list[int]] | None = None) -> str:
     return " + ".join(terms)
 
 
+def _sig_np(x, P):
+    """int64 sign-bit signatures of rows of ``x`` against plane matrix
+    ``P`` (n_bits, EMB_DIM): bit j set iff dot(P[j], x) > 0 — the numpy
+    form of :func:`lsh_signature_expr`.  The sign of the sequential Spark
+    fold is reproduced exactly: fast matmul everywhere, with dots within
+    1e-9 of zero re-checked by the exact left-to-right accumulation."""
+    import numpy as np
+
+    d = x @ P.T
+    sus = np.abs(d) < 1e-9
+    if sus.any():
+        for i, j in zip(*np.nonzero(sus)):
+            d[i, j] = _seq_dot64(P[j], x[i])
+    bits = d > 0.0
+    weights = np.left_shift(np.int64(1), np.arange(P.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
 def lsh_buckets(embeddings: "DataFrame", n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> "DataFrame":
     """(vec_id, bucket) over ALL n_planes bits — the occupancy/diagnostic
-    partitioning (2^n_planes bucket space)."""
+    partitioning (2^n_planes bucket space).  One numpy matmul per Arrow
+    batch (r6, guide 4.2) instead of n_planes interpreted HOF dots per
+    row; bucket values are bit-identical (see :func:`_sig_np`)."""
+    import pandas as pd
+
     planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
-    embeddings = spread(embeddings)  # n_planes interpreted dots per row
-    return embeddings.select(
-        "vec_id", F.expr(lsh_signature_expr("embedding", planes)).alias("bucket")
+    embeddings = spread(embeddings)
+
+    def sig_fn(batches):
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "bucket": _sig_np(x, P)}
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        sig_fn, "vec_id bigint, bucket bigint"
     )
 
 
@@ -189,28 +261,40 @@ def lsh_band_buckets(
     seed: int = PLANE_SEED,
 ) -> "DataFrame":
     """(vec_id, band_idx, bucket): one (n_planes/n_bands)-bit bucket per
-    band — the candidate-generation partitioning (multi-probe recall)."""
+    band — the candidate-generation partitioning (multi-probe recall).
+    Same numpy kernel as :func:`lsh_buckets`, one matmul per batch for
+    all bands, bands unrolled in the kernel (bit-identical buckets)."""
+    import pandas as pd
+
     planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
-    embeddings = spread(embeddings)  # n_planes interpreted dots per row
+    embeddings = spread(embeddings)
     per_band = n_planes // n_bands
-    band_sigs = [
-        F.expr(
-            lsh_signature_expr("embedding", planes[b * per_band : (b + 1) * per_band])
-        ).alias(f"b{b}")
-        for b in range(n_bands)
-    ]
-    stacked = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("bucket"))
+
+    def band_fn(batches):
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            sigs = [
+                _sig_np(x, P[b * per_band : (b + 1) * per_band])
                 for b in range(n_bands)
             ]
-        )
-    )
-    return (
-        embeddings.select("vec_id", *band_sigs)
-        .select("vec_id", stacked.alias("bb"))
-        .select("vec_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.bucket").alias("bucket"))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, n_bands),
+                    "band_idx": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(vids)
+                    ),
+                    "bucket": np.column_stack(sigs).ravel(),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        band_fn, "vec_id bigint, band_idx int, bucket bigint"
     )
 
 
