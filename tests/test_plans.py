@@ -182,9 +182,10 @@ def test_training_gate_tokenizes_once(spark, tmp_path):
         pd.DataFrame({"doc_id": [1, 2], "text": ["the and of a b", "x y"]})
     ).write.parquet(path)
     plan = _plan(quality_repetition_signals(spark.read.parquet(path)))
-    # '[^a-z0-9 ]' is the tokenizer's regexp_replace class (texthash.py);
+    # '[^a-z0-9]' is the tokenizer's regexp_replace class (texthash.py r6
+    # fast form — space dropped from the class, output-identical);
     # each occurrence in the physical plan is one tokenization of the doc
-    assert plan.count("[^a-z0-9 ]") == 1, plan
+    assert plan.count("[^a-z0-9]") == 1, plan
     # narrow: no aggregation/join shuffle (spread()'s round-robin
     # repartition of a small scan is the only allowed Exchange)
     tree = plan.split("\n\n")[0]
