@@ -175,15 +175,22 @@ def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold:
     pairs = lsh_candidate_pairs(docs, text_col, shingled=shingled)
     a = dist.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = dist.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A| + |B| - |A∩B| for the already-distinct shingle sets:
+    # same integers, same double division, but the union SET (the bigger
+    # of the two per-pair set builds) is never materialized — measured
+    # ~2x off the per-pair verify cost at sf1 (r6).  The intersect size
+    # is let-bound through a column so it evaluates once, not once per
+    # reference.
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -248,21 +255,24 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the convergence flag rides the update row (labels only ever
+        # DECREASE, so changed == any nbr_label < label), and the lazy
+        # checkpoint is materialized by the flag aggregation itself —
+        # ONE job per round instead of the r5 update-job + join-count-job
+        # pair (measured ~2x off the per-round wall at sf1, r6)
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return (
