@@ -175,23 +175,60 @@ def jaccard_verified_pairs(docs: "DataFrame", text_col: str = "text", threshold:
     pairs = lsh_candidate_pairs(docs, text_col, shingled=shingled)
     a = dist.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = dist.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    # |A∪B| = |A| + |B| - |A∩B| for the already-distinct shingle sets:
-    # same integers, same double division, but the union SET (the bigger
-    # of the two per-pair set builds) is never materialized — measured
-    # ~2x off the per-pair verify cost at sf1 (r6).  The intersect size
-    # is let-bound through a column so it evaluates once, not once per
-    # reference.
+    # Set sizes come from a pandas kernel (guide 4.2): Python set
+    # intersection with a per-batch doc -> set cache (each doc appears in
+    # ~many pairs, the JVM array_intersect rebuilt its hash set per
+    # pair), and |A∪B| = |A| + |B| - |A∩B| so the union set is never
+    # built.  Only INTEGER sizes leave the kernel; the division, the
+    # threshold filter and the 6-decimal rounding stay the exact JVM
+    # expressions the twin was verified against (int/int -> double is
+    # the same IEEE value either way).
+    import pandas as pd
+
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+
+    def sizes_fn(batches):
+        for pdf in batches:
+            cache: dict = {}
+
+            def get(doc, arr):
+                s = cache.get(doc)
+                if s is None:
+                    s = frozenset(arr)
+                    cache[doc] = s
+                return s
+
+            n_a, n_b, n_i = [], [], []
+            for da, db, sa_arr, sb_arr in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["sh_a"], pdf["sh_b"]
+            ):
+                sa = get(da, sa_arr)
+                sb = get(db, sb_arr)
+                small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+                inter = sum(1 for t in small if t in big)
+                n_a.append(len(sa))
+                n_b.append(len(sb))
+                n_i.append(inter)
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"],
+                    "doc_b": pdf["doc_b"],
+                    "x": n_a,
+                    "y": n_b,
+                    "n_inter": n_i,
+                }
+            )
+
+    sizes = joined.mapInPandas(
+        sizes_fn, "doc_a bigint, doc_b bigint, x int, y int, n_inter int"
+    )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .select(
+        sizes.select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_inter")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
-            ).alias("jaccard"),
+            (F.col("n_inter") / (F.col("x") + F.col("y") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

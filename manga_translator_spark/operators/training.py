@@ -68,7 +68,15 @@ def training_corpus(docs: "DataFrame") -> "DataFrame":
     )
     kept = docs.join(keep, "doc_id")
     exact_canonical = dedup_exact(kept).select(F.col("canonical_id").alias("doc_id"))
-    kept2 = kept.join(exact_canonical, "doc_id", "left_semi")
+    # checkpoint the exact-dedup survivors: THREE consumers re-run the
+    # docs-join-keep-join-canonical chain otherwise (the LSH pair pass
+    # inside dedup_clusters, its final doc mapping, and the output
+    # projection) — the survivors table is the stage boundary a 100 TB
+    # run materializes between exact and near-dup dedup (r6; ~1.2 s per
+    # avoided recompute at sf1)
+    kept2 = kept.join(exact_canonical, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     clusters = dedup_clusters(kept2)
     canonical = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
     return (
