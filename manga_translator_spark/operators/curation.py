@@ -197,7 +197,13 @@ def dsir_scores(
     """
     if n_buckets < 1:
         raise ValueError(f"need n_buckets >= 1, got {n_buckets}")
-    feats_train = _dsir_feature_rows(train, text_col, n_buckets)
+    # 12-byte (doc_id, b) rows consumed by BOTH the raw-count aggregate
+    # and the score join: checkpoint so the tokenize/bigram/hash pass
+    # over the corpus runs once (r6; the hashed-feature table is the
+    # boundary a 100 TB DSIR run materializes anyway)
+    feats_train = _dsir_feature_rows(train, text_col, n_buckets).localCheckpoint(
+        eager=False
+    )
     feats_target = _dsir_feature_rows(target, text_col, n_buckets)
     raw_cnt = feats_train.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
     tgt_cnt = feats_target.groupBy("b").agg(F.count(F.lit(1)).alias("tgt_cnt"))

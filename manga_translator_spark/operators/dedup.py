@@ -519,6 +519,11 @@ def dedup_duplicate_spans(
             (F.col("i0") + 1).alias("i"),  # 1-based window start
             F.expr(h60_spark("s")).alias("h"),
         )
+        # 24-byte rows consumed by BOTH the count aggregate and the
+        # dup-start join: checkpoint so the tokenize/shingle/hash pass
+        # runs once (the window-hash table IS the stage boundary a
+        # 100 TB ExactSubstr run materializes between count and mark)
+        .localCheckpoint(eager=False)
     )
     dup = (
         wins.groupBy("h")

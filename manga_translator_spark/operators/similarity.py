@@ -336,6 +336,44 @@ def lsh_candidate_pairs(
     )
 
 
+def _band_rows_with_emb(
+    embeddings: "DataFrame", n_planes: int, n_bands: int, seed: int = PLANE_SEED
+) -> "DataFrame":
+    """(vec_id, band_idx, bucket, embedding): band bucket rows CARRYING
+    the embedding, so per-bucket kernels get member vectors without a
+    join back — the shuffle ships n_bands * corpus embedding rows once."""
+    import pandas as pd
+
+    planes = PLANES if (n_planes, seed) == (N_PLANES, PLANE_SEED) else make_planes(n_planes, seed)
+    per_band = n_planes // n_bands
+
+    def band_fn(batches):
+        import numpy as np
+
+        P = np.array(planes, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            sigs = [
+                _sig_np(x, P[b * per_band : (b + 1) * per_band])
+                for b in range(n_bands)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vids, n_bands),
+                    "band_idx": np.tile(np.arange(n_bands, dtype=np.int32), len(vids)),
+                    "bucket": np.column_stack(sigs).ravel(),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(n_bands)],
+                }
+            )
+
+    return spread(embeddings).select("vec_id", "embedding").mapInPandas(
+        band_fn, "vec_id bigint, band_idx int, bucket bigint, embedding array<float>"
+    )
+
+
 def embedding_near_dup(
     embeddings: "DataFrame",
     threshold: float = 0.98,
@@ -345,20 +383,52 @@ def embedding_near_dup(
 ) -> "DataFrame":
     """Embedding-cosine near-duplicate pairs (a < b) over banded, capped LSH
     candidates — exact cosine is computed only for the bounded candidate
-    set, never for an uncapped within-bucket self-join."""
-    pairs = lsh_candidate_pairs(embeddings, n_planes, n_bands, max_bucket)
-    sides = _with_norm(spread(embeddings).select("vec_id", "embedding"), "embedding", "nrm")
-    a = sides.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("norm_a")
-    )
-    b = sides.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("norm_b")
-    )
+    set, never for an uncapped within-bucket self-join.
+
+    Physical shape (r6, guide 4.2): one ``groupBy(band, bucket).
+    applyInPandas`` kernel caps the bucket (lowest ``max_bucket`` ids,
+    the r5 rule), computes all within-bucket pair cosines as one BLAS
+    matmul, and emits only pairs passing the threshold; the duplicate
+    pairs produced by multiple bands collapse in the same final
+    ``distinct`` the r5 plan had.  Rounded cosines follow the
+    ``_round4_np`` exactness protocol; NaN (zero-norm) pairs emit like
+    Spark's NaN-greatest ordering."""
+    import pandas as pd
+
+    thr = float(threshold)
+    cap = int(max_bucket)
+
+    def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort").head(cap)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        vids = pdf["vec_id"].to_numpy()
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", x, x))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (x @ x.T) / (nrm[:, None] * nrm[None, :])
+        r = _round4_np(cos, lambda i, j: _exact_cos_round4(x[i], x[j]))
+        ii, jj = np.tril_indices(m, k=-1)  # j < i: vec_a = lower id
+        vals = r[ii, jj]
+        keep = (vals >= thr) | np.isnan(vals)  # NaN >= t in Spark ordering
+        return pd.DataFrame(
+            {
+                "vec_a": vids[jj[keep]],
+                "vec_b": vids[ii[keep]],
+                "cos_sim": vals[keep],
+            }
+        )
+
     return (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select("vec_a", "vec_b", _cos_pre("emb_a", "emb_b", "norm_a", "norm_b").alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        _band_rows_with_emb(embeddings, n_planes, n_bands)
+        .groupBy("band_idx", "bucket")
+        .applyInPandas(bucket_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
+        .distinct()
     )
 
 
@@ -932,47 +1002,81 @@ def ann_topk_in_bucket(
     by design; the scale win is that the join key is the band bucket and
     every bucket's contribution is capped.
 
-    The banded signature table is checkpointed so the interpreted
-    n_planes-dot signature pass over the CORPUS runs once (materialized-
-    LSH-index analogue).  The query side carries the ``queries``/
-    ``max_queries`` contract of :func:`cosine_topk` (VERDICT r03 #2): a
-    hard ordered-limit cap on the lowest vec_ids, after which the <=
-    max_queries query signatures are recomputed directly (bounded work,
-    and external non-corpus queries probe the same index)."""
-    bands = lsh_band_buckets(embeddings, n_planes, n_bands).localCheckpoint(eager=False)
-    capped = (
-        bands.groupBy("band_idx", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
-    )
-    members = capped.select("band_idx", "bucket", F.explode("ids").alias("vec_id"))
+    The query side carries the ``queries``/``max_queries`` contract of
+    :func:`cosine_topk` (VERDICT r03 #2): a hard ordered-limit cap on the
+    lowest vec_ids, after which the <= max_queries query signatures are
+    recomputed directly (bounded work, and external non-corpus queries
+    probe the same index).
+
+    Physical shape (r6, guide 4.2): ``cogroup(corpus band rows, query
+    band rows)`` per (band, bucket); the kernel caps the bucket (lowest
+    ``max_bucket`` ids), computes the bucket's |Q| x members cosines as
+    one BLAS matmul and emits each query's per-bucket top-k; duplicates
+    from multiple bands collapse in a ``distinct`` (the r5 cand_ids
+    dedup), and the global rank is a tiny JVM window.  Rounded cosines
+    follow the ``_round4_np`` exactness protocol."""
+    import pandas as pd
+
+    corpus_bands = _band_rows_with_emb(embeddings, n_planes, n_bands)
     if queries is None:
         queries = embeddings.filter(F.col("vec_id") % query_mod == 0)
     q_capped = (
         queries.select("vec_id", "embedding").orderBy("vec_id").limit(max_queries)
     )
-    q_bands = lsh_band_buckets(q_capped, n_planes, n_bands).select(
-        F.col("vec_id").alias("query_id"), "band_idx", "bucket"
+    q_bands = _band_rows_with_emb(q_capped, n_planes, n_bands).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "bucket",
+        F.col("embedding").alias("q_emb"),
     )
-    cand_ids = (
-        q_bands.join(members, ["band_idx", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    cap = int(max_bucket)
+    k_i = int(k)
+
+    def bucket_topk(mem: "pd.DataFrame", qs: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"}
+        )
+        if not len(mem) or not len(qs):
+            return empty
+        mem = mem.sort_values("vec_id", kind="mergesort").head(cap)
+        nid = mem["vec_id"].to_numpy()
+        x = np.vstack(mem["embedding"].to_numpy()).astype(np.float64)
+        q = np.vstack(qs["q_emb"].to_numpy()).astype(np.float64)
+        qid = qs["query_id"].to_numpy()
+        xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+        qn = np.sqrt(np.einsum("ij,ij->i", q, q))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q @ x.T) / (qn[:, None] * xn[None, :])
+        r = _round4_np(cos, lambda i, j: _exact_cos_round4(q[i], x[j]))
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(qid)):
+            valid = nid != qid[i]
+            key = r[i, valid]
+            key = np.where(np.isnan(key), np.inf, key)  # NaN sorts greatest
+            vnid = nid[valid]
+            order = np.lexsort((vnid, -key))[:k_i]
+            out_q.append(np.full(len(order), qid[i]))
+            out_n.append(vnid[order])
+            out_c.append(r[i, valid][order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_c),
+            }
+        )
+
+    local_topk = (
+        corpus_bands.groupBy("band_idx", "bucket")
+        .cogroup(q_bands.groupBy("band_idx", "bucket"))
+        .applyInPandas(bucket_topk, "query_id bigint, neighbor_id bigint, cos_sim double")
         .distinct()
-    )
-    q_emb = _with_norm(q_capped, "embedding", "nrm").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_norm")
-    )
-    n_emb = _with_norm(spread(embeddings).select("vec_id", "embedding"), "embedding", "nrm").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"), F.col("nrm").alias("n_norm")
-    )
-    pairs = (
-        cand_ids.join(q_emb, "query_id")
-        .join(n_emb, "neighbor_id")
-        .select("query_id", "neighbor_id", _cos_pre("q_emb", "n_emb", "q_norm", "n_norm").alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local_topk.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
