@@ -199,8 +199,18 @@ def extract_delta(
     resume whole partitions after failures, the delta resumes a *crawl*
     across snapshots — at 100 TB the anti-join is a shuffle on
     (url, 16-byte digest), tiny next to re-parsing unchanged pages.
+
+    spread() runs on the PAGES side, before the anti-join: the broadcast
+    anti join preserves the left side's partitioning and downstream
+    spread() correctly refuses post-join frames (the plan guard), so a
+    narrow single-file scan would otherwise parse the whole delta on one
+    task (measured at sf1: the Python parse stage ran 1 task, 4.4 s vs
+    1.0 s for a full 32-task extract — r6).  At 100 TB the scan is wide
+    and this no-ops.
     """
-    cur = pages.withColumn("digest", F.md5("html"))
+    from manga_translator_spark.operators.common import spread
+
+    cur = spread(pages).withColumn("digest", F.md5("html"))
     todo = cur.join(
         prev.select("url", "digest"), ["url", "digest"], "left_anti"
     ).drop("digest")
