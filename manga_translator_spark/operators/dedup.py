@@ -266,7 +266,37 @@ def dedup_clusters(
     instead of silently running unbounded global rounds at 100 TB.
     """
     if pairs is None:
-        pairs = lsh_candidate_pairs(docs, text_col)
+        # Star edges instead of the full candidate-pair cliques: within a
+        # capped LSH bucket every member pairs with every other (r5 shape
+        # — C(cap, 2) pairs per bucket), but for CONNECTivity a star from
+        # the bucket's lowest id to each other member spans the same
+        # vertex set, so the component structure — and therefore every
+        # cluster_id — is identical.  cap-1 edges per bucket instead of
+        # C(cap, 2): at sf1 283k pairs -> ~60k edges, and the per-bucket
+        # pair explosion + corpus-wide distinct disappear (r6).  Callers
+        # passing an explicit ``pairs`` frame keep the r5 behavior.
+        band_rows = lsh_bands(docs, text_col)
+        buckets = (
+            band_rows.groupBy("band_idx", "band_hash")
+            .agg(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, MAX_BUCKET).alias(
+                    "ids"
+                )
+            )
+            .filter(F.size("ids") > 1)
+        )
+        pairs = (
+            buckets.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(ids, 2, size(ids) - 1), "
+                        "x -> struct(element_at(ids, 1) as a, x as b))"
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .distinct()
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
