@@ -448,6 +448,10 @@ def dedup_repeated_segments(
         .select("doc_id", F.expr(segments_spark(toks, width)).alias("segs"))
         .select("doc_id", F.posexplode("segs").alias("g", "seg"))
         .withColumn("h", F.expr(h60_spark("seg")))
+        # consumed by BOTH the count aggregate and the reassembly join:
+        # checkpoint so the tokenize/segment/hash pass runs once (the
+        # dedup_duplicate_spans discipline, r6)
+        .localCheckpoint(eager=False)
     )
     drop = (
         segs.groupBy("h")

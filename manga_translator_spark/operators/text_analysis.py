@@ -185,16 +185,22 @@ C4_BLOCK_PHRASES = ("lorem ipsum",)  # placeholder-text page drop
 
 
 def _c4_rule_exprs(
-    tks: str, text_col: str, blocklist: tuple[str, ...]
+    tks: str, low: str, blocklist: tuple[str, ...]
 ) -> dict[str, str]:
     """Each C4 rule as one boolean SQL fragment over a BOUND token-array
-    variable ``tks`` — shared by :func:`c4_rules` (flag columns) and
+    variable ``tks`` and a BOUND lowercased-text variable ``low`` —
+    shared by :func:`c4_rules` (flag columns) and
     :func:`c4_keep_condition` (one pushdown predicate), so the two forms
-    cannot drift (the _gopher_body discipline)."""
+    cannot drift (the _gopher_body discipline).  ``low`` is a lambda
+    variable, not an inline ``lower(...)`` fragment: five substring rules
+    referencing an inline lower() evaluated it five times per row (the
+    flag Project is interpreted because of the blocklist HOF, so no
+    codegen subexpression elimination — r6).  ``has_brace`` matching on
+    the lowered text is identical to matching the raw text: no character
+    case-folds to '{'."""
     for wd in blocklist:
         if "'" in wd or " " in wd:
             raise ValueError(f"blocklist entries are single tokens, got {wd!r}")
-    low = f"lower(coalesce({text_col}, ''))"
     policy = " OR ".join(f"contains({low}, '{p}')" for p in C4_POLICY_PHRASES)
     lorem = " OR ".join(f"contains({low}, '{p}')" for p in C4_BLOCK_PHRASES)
     if blocklist:
@@ -203,7 +209,7 @@ def _c4_rule_exprs(
     else:
         blocked = "FALSE"
     return {
-        "has_brace": f"contains(coalesce({text_col}, ''), '{{')",
+        "has_brace": f"contains({low}, '{{')",
         "has_lorem": f"({lorem})",
         "has_js": f"array_contains({tks}, 'javascript')",
         "has_policy": f"({policy})",
@@ -232,24 +238,32 @@ def c4_rules(
     C4 bad-word rule is word-level; substring matching would flag
     innocents — the classic 'scunthorpe' failure).
     """
-    rules = _c4_rule_exprs("tokens", text_col, blocklist)
+    rules = _c4_rule_exprs("tokens", "low_s", blocklist)
     # NULL text = zero tokens (the tokenizer yields NULL, which would turn
     # every token-rule flag and the keep sum NULL — and the DuckDB twin's
-    # CASE would disagree); the span-dedup/DSIR operators share this contract
-    d = docs.select(
-        "doc_id",
-        F.expr(
-            f"coalesce({tokens_spark(text_col)}, CAST(array() AS ARRAY<STRING>))"
-        ).alias("tokens"),
-        F.col(text_col),
+    # CASE would disagree); the span-dedup/DSIR operators share this contract.
+    # One nested let (texthash.py idiom) binds the lowered text AND the
+    # token array once; spread() so a narrow scan doesn't run the whole
+    # pass on one task (r6 — c4_rules was the one text operator without it).
+    toks = f"coalesce({tokens_spark(text_col)}, CAST(array() AS ARRAY<STRING>))"
+    low = f"lower(coalesce({text_col}, ''))"
+    body = (
+        "named_struct('n_tokens', CAST(size(tokens) AS BIGINT), "
+        + ", ".join(f"'{k}', CAST({e} AS INT)" for k, e in rules.items())
+        + ")"
     )
-    return d.select(
-        "doc_id",
-        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
-        *[F.expr(f"CAST({e} AS INT)").alias(k) for k, e in rules.items()],
-    ).withColumn(
-        "keep",
-        F.expr(f"CAST({' + '.join(rules)} = 0 AS INT)"),
+    nested = (
+        f"element_at(transform(array({low}), low_s -> "
+        f"element_at(transform(array({toks}), tokens -> {body}), 1)), 1)"
+    )
+    return (
+        spread(docs)
+        .select("doc_id", F.expr(nested).alias("s"))
+        .select("doc_id", "s.n_tokens", *[F.col(f"s.{k}").alias(k) for k in rules])
+        .withColumn(
+            "keep",
+            F.expr(f"CAST({' + '.join(rules)} = 0 AS INT)"),
+        )
     )
 
 
@@ -260,10 +274,14 @@ def c4_keep_condition(
     filter-pushdown form of :func:`c4_rules` (same fragments via
     ``_c4_rule_exprs``; equality is tested).  Tokenization is let-bound
     via the single-element ``transform`` idiom (texthash.py rule)."""
-    rules = _c4_rule_exprs("tokens", text_col, blocklist)
+    rules = _c4_rule_exprs("tokens", "low_s", blocklist)
     body = "NOT (" + " OR ".join(rules.values()) + ")"
     toks = f"coalesce({tokens_spark(text_col)}, CAST(array() AS ARRAY<STRING>))"
-    return F.expr(f"element_at(transform(array({toks}), tokens -> {body}), 1)")
+    low = f"lower(coalesce({text_col}, ''))"
+    return F.expr(
+        f"element_at(transform(array({low}), low_s -> "
+        f"element_at(transform(array({toks}), tokens -> {body}), 1)), 1)"
+    )
 
 
 def fingerprint(docs: "DataFrame") -> "DataFrame":
@@ -727,6 +745,11 @@ def surprise_buckets(
     Output: doc_id, n_tokens, surprise_ppm, bucket.
     """
     scored = token_surprise(docs, text_col, vocab_limit=vocab_limit, tail_cnt=tail_cnt)
+    if cutoffs is None:
+        # calibration consumes scored a second time (the sample branch);
+        # checkpoint the 24-byte score rows so the two-shuffle
+        # token_surprise chain runs once (r6)
+        scored = scored.localCheckpoint(eager=False)
     if cutoffs is not None:
         c1, c2 = (int(c) for c in cutoffs)
         cuts = scored.sparkSession.range(1).select(
