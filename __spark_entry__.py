@@ -445,8 +445,12 @@ def _q_enrich_dict(spark, sf):
         make_enrich_dict,
     )
 
+    from manga_translator_spark.operators.common import spread
+
     keys = ", ".join(f"'{k}'" for k, _ in TRANSLATE_LEXICON)
-    docs = _t(spark, sf, "documents").select(
+    # spread: two per-token HOF passes over a single-file scan otherwise
+    # run on one task (r6 — the plan had no exchange at all)
+    docs = spread(_t(spark, sf, "documents")).select(
         "doc_id", "text", F.col("text").alias("extracted_text")
     )
     # let-bind the key array outside the per-element lambda (CLAUDE.md

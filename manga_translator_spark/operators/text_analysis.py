@@ -77,7 +77,9 @@ def quality_features(docs: "DataFrame") -> "DataFrame":
             f"CAST(round((({_count_expr(pattern)}) / (length(text) + 1.0)) * 1000000.0) AS BIGINT)"
         )
 
-    return docs.select(
+    # spread: four regex passes per row over a possibly single-file scan
+    # otherwise run on one task (r6 — the c4_rules finding)
+    return spread(docs).select(
         "doc_id",
         F.length("text").alias("n_chars_raw"),
         F.expr(_ppm("[.!?,;:]")).alias("punct_ppm"),
