@@ -1026,7 +1026,11 @@ def ann_topk_in_bucket(
     q_bands = _band_rows_with_emb(q_capped, n_planes, n_bands).select(
         F.col("vec_id").alias("query_id"), "band_idx", "bucket",
         F.col("embedding").alias("q_emb"),
-    ).localCheckpoint(eager=False)
+    )
+    # (q_bands is consumed twice but stays UN-checkpointed: recomputing
+    # <= max_queries * n_bands signature rows is trivial, and truncating
+    # the lineage here would hide the ordered-limit query-side bound
+    # from the physical plan that tests/test_plans.py asserts on)
     # prune the corpus side to PROBED buckets before the cogroup shuffle
     # (guide 3.2: semi-join pre-filter with the bounded probe set — the
     # query side is <= max_queries * n_bands rows by construction, so the
