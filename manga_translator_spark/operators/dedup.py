@@ -86,18 +86,54 @@ def minhash_signatures(
     frame so a caller composing several shingle consumers (jaccard verify)
     can materialize the shingle table once — the minhash-index-build
     boundary a 100 TB deployment persists between stages.
+
+    Physical shape (r6, guide 4.2): the per-shingle md5 + k-transform
+    fold ran as an interpreted aggregate allocating a k-array per
+    shingle step; it is now a mapInPandas kernel — hashlib md5 over the
+    UTF-8 shingle bytes is bit-identical to the JVM's
+    ``conv(substr(md5(s),1,15),16,10)`` chain (int of the first 15 hex
+    digits), and the (A*h + B) mod P mins vectorize in exact int64 (all
+    products < 2^62).  Shingle ARRAYS cross Arrow once; signatures come
+    back as exact bigints, so every downstream band hash and the DuckDB
+    twin are unchanged.
     """
-    a_arr = "array(" + ", ".join(str(v) for v in MINHASH_A[:k]) + ")"
-    b_arr = "array(" + ", ".join(str(v) for v in MINHASH_B[:k]) + ")"
-    hs = f"transform(shingles, s -> {h60_spark('s')} % {MINHASH_P})"
-    sig = f"""aggregate(
-      {hs},
-      array_repeat(CAST({MINHASH_P} AS BIGINT), {k}),
-      (acc, h) -> transform(sequence(0, {k - 1}),
-        i -> least(element_at(acc, i + 1),
-                   (element_at({a_arr}, i + 1) * h + element_at({b_arr}, i + 1)) % {MINHASH_P})))"""
+    import pandas as pd
+
+    a_np = MINHASH_A[:k]
+    b_np = MINHASH_B[:k]
+
+    def sig_fn(batches):
+        import hashlib
+
+        import numpy as np
+
+        A = np.array(a_np, dtype=np.int64)[:, None]
+        B = np.array(b_np, dtype=np.int64)[:, None]
+        md5 = hashlib.md5
+        for pdf in batches:
+            sigs = []
+            for arr in pdf["shingles"]:
+                if arr is None:
+                    sigs.append(None)
+                    continue
+                h = np.fromiter(
+                    (
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                        for s in arr
+                    ),
+                    dtype=np.int64,
+                    count=len(arr),
+                )
+                if len(h) == 0:
+                    sigs.append(np.full(k, MINHASH_P, dtype=np.int64))
+                    continue
+                sigs.append(((A * h[None, :] + B) % MINHASH_P).min(axis=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+
     src = _with_shingles(docs, text_col) if shingled is None else shingled
-    return src.select("doc_id", F.expr(sig).alias("signature"))
+    return src.select("doc_id", "shingles").mapInPandas(
+        sig_fn, "doc_id bigint, signature array<bigint>"
+    )
 
 
 def lsh_bands(
